@@ -1,0 +1,185 @@
+"""Alpha compositing + hierarchical importance sampling.
+
+Pure JAX equivalents of reference /root/reference/generators/volumetric_rendering.py:
+  - fancy_integration (:18-106)  -> integrate / apply_fill
+  - sample_pdf        (:259-300) -> sample_pdf
+  - coarse/fine merge (generators.py:508-512) -> merge_sorted
+
+All TPU-friendly: no data-dependent shapes, searchsorted realized as a
+comparison-count (O(S^2) over tiny S beats gather-heavy binary search on TPU),
+randomness explicit via keys.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Integrated(NamedTuple):
+    comp: jax.Array         # (..., R, C) composited channels (labels+rgb)
+    depth: jax.Array        # (..., R) expected depth
+    weights: jax.Array      # (..., R, S) per-sample compositing weights
+    weights_sum: jax.Array  # (..., R) total opacity
+
+
+def integrate(
+    rgb_sigma: jax.Array,  # (..., R, S, C+1), last channel = sigma
+    z_vals: jax.Array,     # (..., R, S)
+    key: jax.Array | None,
+    noise_std: float | jax.Array = 0.5,
+    clamp_mode: str = "relu",
+    last_back: bool = False,
+    white_back: bool = False,
+    black_back: bool = False,
+) -> Integrated:
+    """NeRF volumetric rendering (reference fancy_integration :18-51).
+
+    alpha_i = 1 - exp(-delta_i * act(sigma_i + noise)); weights via
+    transmittance cumprod; the same weights composite every channel
+    (semantics and RGB share the geometry).
+    """
+    channels = rgb_sigma[..., :-1]
+    sigmas = rgb_sigma[..., -1]
+
+    deltas = z_vals[..., 1:] - z_vals[..., :-1]
+    deltas = jnp.concatenate(
+        [deltas, jnp.full_like(deltas[..., :1], 1e10)], axis=-1
+    )
+
+    if key is not None:
+        sigmas = sigmas + jax.random.normal(key, sigmas.shape) * noise_std
+
+    if clamp_mode == "softplus":
+        act = jax.nn.softplus(sigmas)
+    elif clamp_mode == "relu":
+        act = jax.nn.relu(sigmas)
+    else:
+        raise ValueError(f"unknown clamp_mode {clamp_mode!r}")
+
+    alphas = 1.0 - jnp.exp(-deltas * act)
+    # T_i = prod_{j<i} (1 - alpha_j + 1e-10)
+    trans = jnp.cumprod(1.0 - alphas + 1e-10, axis=-1)
+    trans = jnp.concatenate([jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
+    weights = alphas * trans
+    weights_sum = weights.sum(axis=-1)
+
+    if last_back:
+        weights = weights.at[..., -1].add(1.0 - weights_sum)
+
+    comp = jnp.sum(weights[..., None] * channels, axis=-2)
+    depth = jnp.sum(weights * z_vals, axis=-1)
+
+    if white_back:
+        comp = comp + (1.0 - weights_sum)[..., None]
+    if black_back:
+        comp = comp - (1.0 - weights_sum)[..., None]
+
+    return Integrated(comp=comp, depth=depth, weights=weights, weights_sum=weights_sum)
+
+
+_FILL_VALUES = {"white": 1.0, "black": 0.0, "grey": 0.5, "light_grey": 0.81}
+
+
+def apply_fill(
+    comp: jax.Array,         # (..., R, C)
+    weights_sum: jax.Array,  # (..., R)
+    fill_mode: str | None,
+    fill_color: str = "black",
+) -> jax.Array:
+    """Low-opacity pixel painting (reference fancy_integration :53-102).
+
+    'seg_padding_background' / 'eval_seg_padding_background': prepend a zero
+    background-label channel (C -> C+1), then where total opacity < 0.9 set the
+    pixel to [1 (background label), fill, fill, ...].
+    'eval_white_back' / 'debug' / 'weight_debug': paint low-opacity pixels
+    without padding ([1,1,1] white for RGB-only models; [1,0,...] for joint).
+    Returns the (possibly widened) composited channels.
+    """
+    if fill_mode is None or fill_mode == "weight":
+        return comp
+    low = (weights_sum < 0.9)[..., None]
+    if fill_mode in ("seg_padding_background", "eval_seg_padding_background"):
+        pad = jnp.zeros_like(comp[..., :1])
+        comp = jnp.concatenate([pad, comp], axis=-1)
+        fill = jnp.full_like(comp[..., 1:], _FILL_VALUES[fill_color])
+        target = jnp.concatenate([jnp.ones_like(comp[..., :1]), fill], axis=-1)
+        return jnp.where(low, target, comp)
+    if fill_mode == "eval_white_back":
+        return jnp.where(low, jnp.ones_like(comp), comp)
+    if fill_mode in ("debug", "weight_debug"):
+        target = jnp.concatenate(
+            [jnp.ones_like(comp[..., :1]), jnp.zeros_like(comp[..., 1:])], axis=-1
+        )
+        return jnp.where(low, target, comp)
+    raise ValueError(f"unknown fill_mode {fill_mode!r}")
+
+
+def midpoints(z_vals: jax.Array) -> jax.Array:
+    """Interval midpoints along the sample axis: (..., S) -> (..., S-1)."""
+    return 0.5 * (z_vals[..., :-1] + z_vals[..., 1:])
+
+
+def sample_pdf(
+    key: jax.Array | None,
+    bins: jax.Array,     # (..., M) sorted bin positions (z midpoints)
+    weights: jax.Array,  # (..., M-1) unnormalized per-bin weights
+    n_importance: int,
+    det: bool = False,
+    eps: float = 1e-5,
+) -> jax.Array:
+    """Inverse-CDF importance sampling (reference sample_pdf :259-300).
+
+    searchsorted(side='left') is realized as sum(cdf < u): with S ~ tens of
+    samples the O(S * n_importance) comparison matrix is cheap, fully
+    vectorized, and avoids serial binary-search gathers on the VPU.
+    Returns (..., n_importance) new sample positions.
+    """
+    w = weights + eps
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (..., M)
+
+    u_shape = weights.shape[:-1] + (n_importance,)
+    if det:
+        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_importance), u_shape)
+    else:
+        assert key is not None
+        u = jax.random.uniform(key, u_shape)
+
+    # inds[r, i] = #(cdf[r, :] < u[r, i])  == searchsorted(cdf, u, 'left')
+    inds = jnp.sum(
+        (cdf[..., None, :] < u[..., :, None]).astype(jnp.int32), axis=-1
+    )
+    m = weights.shape[-1]  # == M-1 where cdf/bins have M entries
+    below = jnp.clip(inds - 1, 0, m)
+    above = jnp.clip(inds, 0, m)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, below, axis=-1)
+    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < eps, 1.0, denom)
+    return bins_below + (u - cdf_below) / denom * (bins_above - bins_below)
+
+
+def merge_sorted(
+    fine_out: jax.Array,    # (..., R, S_f, C)
+    coarse_out: jax.Array,  # (..., R, S_c, C)
+    fine_z: jax.Array,      # (..., R, S_f)
+    coarse_z: jax.Array,    # (..., R, S_c)
+) -> tuple[jax.Array, jax.Array]:
+    """Depth-sort the union of fine+coarse samples per ray.
+
+    Reference concatenates [fine, coarse] then torch.sort (generators.py:508-512).
+    Here a single lax.sort co-sorts z and channels (stable, matches gather).
+    """
+    all_z = jnp.concatenate([fine_z, coarse_z], axis=-1)
+    all_out = jnp.concatenate([fine_out, coarse_out], axis=-2)
+    order = jnp.argsort(all_z, axis=-1, stable=True)
+    z_sorted = jnp.take_along_axis(all_z, order, axis=-1)
+    out_sorted = jnp.take_along_axis(all_out, order[..., None], axis=-2)
+    return out_sorted, z_sorted

@@ -1,0 +1,56 @@
+"""Validate trilinear grid sampling against torch.grid_sample semantics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fenerf_tpu.core.grid_sample import grid_sample_3d
+
+
+def _torch_reference(grid_np, coords_np):
+    torch = pytest.importorskip("torch")
+    g = torch.tensor(grid_np)[None]  # (1, C, D, H, W)
+    n = coords_np.shape[0]
+    c = torch.tensor(coords_np).reshape(1, 1, 1, n, 3)
+    out = torch.nn.functional.grid_sample(
+        g, c, mode="bilinear", padding_mode="zeros", align_corners=True
+    )  # (1, C, 1, 1, N)
+    return out[0, :, 0, 0, :].T.numpy()  # (N, C)
+
+
+class TestGridSample3D:
+    def test_matches_torch_interior(self):
+        rng = np.random.RandomState(0)
+        grid = rng.randn(4, 5, 6, 7).astype(np.float32)  # (C, D, H, W)
+        coords = (rng.rand(64, 3).astype(np.float32) * 2 - 1) * 0.95
+        ours = grid_sample_3d(jnp.asarray(grid), jnp.asarray(coords))
+        ref = _torch_reference(grid, coords)
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+
+    def test_matches_torch_out_of_bounds(self):
+        rng = np.random.RandomState(1)
+        grid = rng.randn(2, 4, 4, 4).astype(np.float32)
+        coords = (rng.rand(64, 3).astype(np.float32) * 4 - 2)  # in [-2, 2]
+        ours = grid_sample_3d(jnp.asarray(grid), jnp.asarray(coords))
+        ref = _torch_reference(grid, coords)
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+
+    def test_exact_corner_align_corners(self):
+        grid = jnp.arange(2 * 3 * 3 * 3, dtype=jnp.float32).reshape(2, 3, 3, 3)
+        # coord (-1,-1,-1) -> index (0,0,0); (1,1,1) -> (W-1,H-1,D-1)
+        out = grid_sample_3d(grid, jnp.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]]))
+        np.testing.assert_allclose(out[0], grid[:, 0, 0, 0], atol=1e-6)
+        np.testing.assert_allclose(out[1], grid[:, 2, 2, 2], atol=1e-6)
+
+    def test_batched_coords_shape(self):
+        grid = jnp.ones((8, 4, 4, 4))
+        coords = jnp.zeros((2, 10, 3))
+        out = grid_sample_3d(grid, coords)
+        assert out.shape == (2, 10, 8)
+        np.testing.assert_allclose(out, 1.0, atol=1e-6)
+
+    def test_gradients_flow(self):
+        grid = jnp.ones((2, 4, 4, 4))
+        coords = jnp.array([[0.1, -0.2, 0.3]])
+        g = jax.grad(lambda gr: grid_sample_3d(gr, coords).sum())(grid)
+        assert float(jnp.abs(g).sum()) > 0
