@@ -1,0 +1,121 @@
+"""PyTorch checkpoint -> JAX pytree importers.
+
+The reference saves whole-module pickles (torch.save(generator_ddp.module,...),
+train_double_latent_semantic.py:253); loading those requires the reference
+package. These importers instead consume a *state_dict* mapping (str ->
+tensor/ndarray), which callers obtain either from `torch.load(...).state_dict()`
+with the reference importable, or from a re-saved plain dict.
+
+Layout translation only — no computation: torch nn.Linear stores (out, in)
+weights; ours are (in, out). Conv2d (out, in, kh, kw) -> (kh, kw, in, out).
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from fenerf_tpu.nn.fields import FieldConfig
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _lin(sd: Mapping[str, Any], prefix: str) -> dict:
+    return {
+        "w": jnp.asarray(_np(sd[f"{prefix}.weight"]).T),
+        "b": jnp.asarray(_np(sd[f"{prefix}.bias"])),
+    }
+
+
+def _conv(sd: Mapping[str, Any], prefix: str) -> dict:
+    w = _np(sd[f"{prefix}.weight"])  # (out, in, kh, kw)
+    return {
+        "w": jnp.asarray(w.transpose(2, 3, 1, 0)),
+        "b": jnp.asarray(_np(sd[f"{prefix}.bias"])),
+    }
+
+
+def strip_prefix(sd: Mapping[str, Any], prefix: str) -> dict:
+    out = {}
+    for k, v in sd.items():
+        if k.startswith(prefix):
+            out[k[len(prefix):]] = v
+    return out
+
+
+def field_from_torch(sd: Mapping[str, Any], cfg: FieldConfig) -> dict:
+    """Convert a reference SIREN state_dict into our field param pytree.
+
+    Accepts keys with or without a leading 'siren.' (generator pickles nest
+    the field under .siren).
+    """
+    if any(k.startswith("siren.") for k in sd):
+        sd = strip_prefix(sd, "siren.")
+
+    params: dict[str, Any] = {
+        "trunk": [_lin(sd, f"network.{i}.layer") for i in range(cfg.trunk_layers)],
+        "sigma_head": _lin(sd, "final_layer"),
+        "color_head": _lin(sd, "color_layer_linear.0"),
+    }
+
+    # color branch: ModuleList of FiLM layers, or a single FiLMLayer in the
+    # single-latent baselines (key color_layer_sine.layer.weight)
+    if "color_layer_sine.layer.weight" in sd:
+        params["color"] = [_lin(sd, "color_layer_sine.layer")]
+    else:
+        params["color"] = [
+            _lin(sd, f"color_layer_sine.{i}.layer") for i in range(cfg.color_layers)
+        ]
+
+    if cfg.n_labels:
+        n = cfg.label_hidden_layers + 1
+        params["label_head"] = [
+            _lin(sd, f"label_layer_linear.{i}") for i in range(n)
+        ]
+
+    def mapping(prefix):
+        # reference Sequential indices 0,2,4,6,8 are the linears
+        return [_lin(sd, f"{prefix}.network.{2 * j}") for j in range(5)]
+
+    if cfg.single_latent:
+        params["geo_map"] = mapping("mapping_network")
+    else:
+        params["geo_map"] = mapping("geo_mapping_network")
+        params["app_map"] = mapping("app_mapping_network")
+
+    if cfg.grid_channels:
+        g = _np(sd["spatial_embeddings"])  # (1, C, D, H, W)
+        params["grid"] = jnp.asarray(g[0])
+    return params
+
+
+# ------------------------------------------------------------------
+# Discriminator import (CCSDoubleEncoderDiscriminator and kin)
+# ------------------------------------------------------------------
+
+def discriminator_from_torch(sd: Mapping[str, Any], n_blocks: int = 7) -> dict:
+    """Convert a reference CCS*Discriminator state_dict
+    (/root/reference/discriminators/sgdiscriminators.py:365-419)."""
+    blocks = []
+    for i in range(n_blocks):
+        blocks.append({
+            "conv1": _conv(sd, f"layers.{i}.network.0.conv"),
+            "conv2": _conv(sd, f"layers.{i}.network.2.conv"),
+            "proj": _conv(sd, f"layers.{i}.proj"),
+        })
+    from_rgb = []
+    j = 0
+    while f"fromRGB.{j}.model.0.weight" in sd:
+        from_rgb.append(_conv(sd, f"fromRGB.{j}.model.0"))
+        j += 1
+    return {
+        "blocks": blocks,
+        "from_rgb": from_rgb,
+        "final": _conv(sd, "final_layer"),
+    }
