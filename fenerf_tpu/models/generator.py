@@ -1,0 +1,272 @@
+"""The volumetric generator: ONE render function for every entry point.
+
+The reference implements the same pipeline four times per generator class
+(forward / staged_forward / forward_with_frequencies /
+staged_forward_with_frequencies, /root/reference/generators/generators.py:452-798)
+plus gradient-subset variants (point_forward/part_forward :800-910). Here a
+single `render()` covers all of them:
+
+  * z-space vs W-space entry: callers either pass latents (render_from_z) or
+    raw film activations (render) — truncation composes outside.
+  * train vs staged inference: `ray_chunk` statically selects whole-image
+    evaluation or a lax.map over fixed-size ray blocks (constant shapes, one
+    compile per stage — replaces the reference's data-dependent while-loop
+    chunking, generators.py:583-589).
+  * hierarchical importance sampling, coarse+fine depth sort, fill modes and
+    psi-truncation are config flags.
+
+Pipeline (reference call stack, SURVEY.md §3.1 "device hot path"):
+ray grid -> stratified jitter -> camera sample -> cam2world -> field eval
+(coarse) -> integrate -> sample_pdf -> field eval (fine) -> merge-sort ->
+integrate -> NCHW pixels in [-1, 1].
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from fenerf_tpu.core import integrate as integ
+from fenerf_tpu.core import rays as raylib
+from fenerf_tpu.nn import fields
+
+Params = Any
+Film = tuple[jax.Array, jax.Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static rendering configuration (hashable -> usable as a jit static arg).
+
+    Mirrors the curriculum metadata consumed by the reference generator
+    forwards (img_size/fov/ray_start/ray_end/num_steps/h_stddev/..., e.g.
+    curriculums.py:83-129) plus the eval-only knobs (psi, fill, lock view).
+    """
+    img_size: int = 64
+    num_steps: int = 12
+    fov: float = 12.0
+    ray_start: float = 0.88
+    ray_end: float = 1.12
+    h_stddev: float = 0.3
+    v_stddev: float = 0.155
+    h_mean: float = 1.5707963267948966   # pi/2
+    v_mean: float = 1.5707963267948966
+    sample_dist: str | None = "gaussian"
+    hierarchical: bool = True
+    clamp_mode: str = "relu"
+    last_back: bool = False
+    white_back: bool = False
+    black_back: bool = False
+    fill_mode: str | None = None
+    fill_color: str = "black"
+    lock_view_dependence: bool = False
+    softmax_label: bool = False
+    perturb: bool = True
+    ray_chunk: int = 0        # 0 => whole image in one field eval
+    compute_dtype: str = "float32"   # 'bfloat16' for the MXU fast path
+
+    @property
+    def n_rays(self) -> int:
+        return self.img_size * self.img_size
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _eval_field_chunked(params, fcfg, rcfg, points, dirs, film_geo, film_app):
+    """Evaluate the field over (B, R, S, 3) points, optionally lax.map-chunked
+    along the ray axis to bound live activation memory (TPU replacement for
+    the reference's max_batch_size while loops)."""
+    b, r, s, _ = points.shape
+    compute_dtype = jnp.bfloat16 if rcfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def eval_block(pts, drs):
+        # pts: (B, rblk, S, 3) -> flatten points axis for the MLP
+        rb = pts.shape[1]
+        out = fields.apply_field(
+            params, fcfg,
+            pts.reshape(b, rb * s, 3),
+            drs.reshape(b, rb * s, 3),
+            film_geo, film_app,
+            compute_dtype=compute_dtype,
+        )
+        return out.reshape(b, rb, s, fcfg.output_dim)
+
+    dirs_exp = jnp.broadcast_to(dirs[:, :, None, :], points.shape)
+    if rcfg.lock_view_dependence:
+        dirs_exp = jnp.zeros_like(dirs_exp).at[..., -1].set(-1.0)
+
+    chunk = rcfg.ray_chunk
+    if not chunk or chunk >= r:
+        return eval_block(points, dirs_exp)
+
+    assert r % chunk == 0, f"ray_chunk {chunk} must divide n_rays {r}"
+    n_blocks = r // chunk
+    pts_b = points.reshape(b, n_blocks, chunk, s, 3).transpose(1, 0, 2, 3, 4)
+    dirs_b = dirs_exp.reshape(b, n_blocks, chunk, s, 3).transpose(1, 0, 2, 3, 4)
+    out = jax.lax.map(lambda args: eval_block(*args), (pts_b, dirs_b))
+    return out.transpose(1, 0, 2, 3, 4).reshape(b, r, s, fcfg.output_dim)
+
+
+def render(
+    params: Params,
+    fcfg: fields.FieldConfig,
+    rcfg: RenderConfig,
+    key: jax.Array,
+    film_geo: Film,
+    film_app: Film,
+    batch_size: int,
+    noise_std: float | jax.Array = 0.0,
+) -> dict[str, jax.Array]:
+    """Render a batch of images from W-space film activations.
+
+    Returns dict with:
+      pixels   (B, C, H, W) in [-1, 1]; C = n_labels(+1 bg if fill pads) + 3
+      depth    (B, H, W)
+      opacity  (B, H, W) total per-ray weight
+      position (B, 2) sampled (pitch, yaw) — discriminator pose target
+    """
+    k_rays, k_coarse_noise, k_pdf, k_fine_noise = jax.random.split(key, 4)
+
+    dirs_cam = raylib.pixel_ray_dirs(rcfg.img_size, rcfg.fov)
+    z0 = raylib.initial_z_vals(rcfg.num_steps, rcfg.ray_start, rcfg.ray_end)
+    tr = raylib.transform_rays(
+        k_rays, batch_size, dirs_cam, z0,
+        rcfg.h_stddev, rcfg.v_stddev, rcfg.h_mean, rcfg.v_mean,
+        mode=rcfg.sample_dist, perturb=rcfg.perturb,
+    )
+
+    coarse_out = _eval_field_chunked(
+        params, fcfg, rcfg, tr.points, tr.ray_dirs, film_geo, film_app
+    )
+
+    if rcfg.hierarchical:
+        # coarse weights drive importance resampling; no gradients flow
+        # through the proposal (reference wraps this in no_grad,
+        # generators.py:483-502)
+        coarse_w = integ.integrate(
+            jax.lax.stop_gradient(coarse_out), tr.z_vals,
+            key=k_coarse_noise, noise_std=noise_std,
+            clamp_mode=rcfg.clamp_mode,
+        ).weights
+        w = jax.lax.stop_gradient(coarse_w) + 1e-5
+        z_mid = integ.midpoints(tr.z_vals)
+        fine_z = integ.sample_pdf(
+            k_pdf, z_mid, w[..., 1:-1], rcfg.num_steps, det=False
+        )
+        fine_z = jax.lax.stop_gradient(fine_z)
+        fine_pts = (
+            tr.ray_origins[:, :, None, :]
+            + tr.ray_dirs[:, :, None, :] * fine_z[..., None]
+        )
+        fine_out = _eval_field_chunked(
+            params, fcfg, rcfg, fine_pts, tr.ray_dirs, film_geo, film_app
+        )
+        all_out, all_z = integ.merge_sorted(fine_out, coarse_out, fine_z, tr.z_vals)
+    else:
+        all_out, all_z = coarse_out, tr.z_vals
+
+    res = integ.integrate(
+        all_out, all_z, key=k_fine_noise, noise_std=noise_std,
+        clamp_mode=rcfg.clamp_mode, last_back=rcfg.last_back,
+        white_back=rcfg.white_back, black_back=rcfg.black_back,
+    )
+    comp = integ.apply_fill(res.comp, res.weights_sum, rcfg.fill_mode,
+                            rcfg.fill_color)
+
+    if rcfg.softmax_label:
+        seg, rgb = comp[..., :-3], comp[..., -3:]
+        comp = jnp.concatenate([jax.nn.softmax(seg, axis=-1), rgb], axis=-1)
+
+    hw = rcfg.img_size
+    pixels = comp.reshape(batch_size, hw, hw, -1).transpose(0, 3, 1, 2) * 2.0 - 1.0
+    return {
+        "pixels": pixels,
+        "depth": res.depth.reshape(batch_size, hw, hw),
+        "opacity": res.weights_sum.reshape(batch_size, hw, hw),
+        "position": jnp.concatenate([tr.pitch, tr.yaw], axis=-1),
+    }
+
+
+def render_from_z(
+    params: Params,
+    fcfg: fields.FieldConfig,
+    rcfg: RenderConfig,
+    key: jax.Array,
+    z_geo: jax.Array,
+    z_app: jax.Array,
+    noise_std: float | jax.Array = 0.0,
+) -> dict[str, jax.Array]:
+    """Reference DoubleImplicitGenerator3d.forward (generators.py:452-527):
+    latents -> mapping networks -> render."""
+    film_geo, film_app = fields.field_film(params, fcfg, z_geo, z_app)
+    return render(
+        params, fcfg, rcfg, key, film_geo, film_app,
+        batch_size=z_geo.shape[0], noise_std=noise_std,
+    )
+
+
+def render_truncated(
+    params: Params,
+    fcfg: fields.FieldConfig,
+    rcfg: RenderConfig,
+    key: jax.Array,
+    z_geo: jax.Array,
+    z_app: jax.Array,
+    avg: tuple[Film, Film],
+    psi: float = 0.7,
+    noise_std: float | jax.Array = 0.0,
+) -> dict[str, jax.Array]:
+    """Reference staged_forward truncation path (generators.py:546-646):
+    psi-lerp the film activations toward their average before rendering."""
+    film_geo, film_app = fields.field_film(params, fcfg, z_geo, z_app)
+    film_geo = fields.truncate_film(film_geo, avg[0], psi)
+    film_app = fields.truncate_film(film_app, avg[1], psi)
+    return render(
+        params, fcfg, rcfg, key, film_geo, film_app,
+        batch_size=z_geo.shape[0], noise_std=noise_std,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shape extraction: evaluate sigma (+labels) on a voxel lattice
+# ---------------------------------------------------------------------------
+
+def voxel_points(resolution: int, cube_length: float = 0.3) -> jax.Array:
+    """Reference create_samples (extract_double_semantic_shapes.py:13-35):
+    a resolution^3 lattice spanning cube_length, centered at the origin.
+    Returns (resolution^3, 3) with x fastest (matching the .mrc reshape)."""
+    side = jnp.linspace(-0.5, 0.5, resolution) * cube_length
+    zz, yy, xx = jnp.meshgrid(side, side, side, indexing="ij")
+    return jnp.stack([xx.reshape(-1), yy.reshape(-1), zz.reshape(-1)], axis=-1)
+
+
+def eval_volume(
+    params: Params,
+    fcfg: fields.FieldConfig,
+    film_geo: Film,
+    film_app: Film,
+    points: jax.Array,          # (N, 3)
+    chunk: int = 262144,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Field outputs over a point cloud with a locked view direction
+    (0, 0, -1) (reference extract_double_semantic_shapes.py:57-61).
+    Returns (N, output_dim)."""
+    n = points.shape[0]
+    pad = (-n) % chunk
+    pts = jnp.pad(points, ((0, pad), (0, 0)))
+    blocks = pts.reshape(-1, chunk, 3)
+
+    def eval_block(p):
+        d = jnp.zeros_like(p).at[..., -1].set(-1.0)
+        return fields.apply_field(
+            params, fcfg, p[None], d[None], film_geo, film_app,
+            compute_dtype=compute_dtype,
+        )[0]
+
+    out = jax.lax.map(eval_block, blocks)
+    return out.reshape(-1, fcfg.output_dim)[:n]

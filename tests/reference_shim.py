@@ -37,3 +37,22 @@ def import_reference_discriminators():
     import discriminators.sgdiscriminators as ref_d  # noqa: PLC0415
 
     return ref_d
+
+
+def import_reference_generators():
+    import_reference_siren()
+    # curriculums -> generators.neural_rendering -> kornia (absent): stub it
+    kornia = types.ModuleType("kornia")
+    kfilters = types.ModuleType("kornia.filters")
+    kfilters.filter2D = None
+    kornia.filters = kfilters
+    sys.modules.setdefault("kornia", kornia)
+    sys.modules.setdefault("kornia.filters", kfilters)
+    # generators.util -> torchvision (absent): only the name is needed
+    tv = types.ModuleType("torchvision")
+    tv.transforms = types.ModuleType("torchvision.transforms")
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.transforms", tv.transforms)
+    from generators import generators as ref_gen  # noqa: PLC0415
+
+    return ref_gen

@@ -1,0 +1,202 @@
+"""Generator render pipeline tests: parity (deterministic mode) + properties.
+
+Randomized stages (camera, jitter, importance-u, sigma noise) can't be matched
+across torch/JAX RNGs, so end-to-end parity runs with randomness off
+(SURVEY.md §7 risks); the stochastic pieces have their own unit parity tests.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from fenerf_tpu.compat.torch_import import field_from_torch
+from fenerf_tpu.models import generator as gen
+from fenerf_tpu.nn import fields
+
+from reference_shim import import_reference_generators, import_reference_siren
+
+ref_siren = import_reference_siren()
+ref_gen = import_reference_generators()
+
+SMALL = dict(hidden_dim=32, z_geo_dim=8, z_app_dim=8)
+
+
+def _small_models():
+    torch.manual_seed(0)
+    fcfg = fields.get_config("SIRENBASELINESEMANTICDISENTANGLE", **SMALL)
+    tg = ref_gen.DoubleImplicitGenerator3d(
+        lambda **kw: ref_siren.SIRENBASELINESEMANTICDISENTANGLE(
+            **{**kw, "hidden_dim": 32}
+        ),
+        8, 8, 22,
+    )
+    tg.device = torch.device("cpu")
+    tg.siren.device = torch.device("cpu")
+    tg.eval()
+    params = field_from_torch(tg.siren.state_dict(), fcfg)
+    return tg, params, fcfg
+
+
+DET_META = dict(
+    img_size=16, fov=12.0, ray_start=0.88, ray_end=1.12, num_steps=6,
+    h_stddev=0.0, v_stddev=0.0, h_mean=1.5707963267948966,
+    v_mean=1.5707963267948966, hierarchical_sample=False, sample_dist=None,
+    clamp_mode="relu", nerf_noise=0.0,
+)
+
+
+class TestRenderParityDeterministic:
+    def test_forward_matches_reference(self):
+        tg, params, fcfg = _small_models()
+        zg = torch.randn(2, 8)
+        za = torch.randn(2, 8)
+        with torch.no_grad():
+            ref_pix, ref_pos = tg(zg, za, **DET_META)
+        # reference perturb_points always jitters; emulate determinism by
+        # comparing against our perturb=False with matched expectations:
+        # torch jitter is random, so instead turn jitter off on BOTH sides by
+        # monkeypatching torch.rand inside perturbation to 0.5 (offset=0).
+        orig_rand = torch.rand
+
+        def fixed_rand(*shape, **kw):
+            return torch.full(shape if len(shape) > 1 else shape[0], 0.5, **kw) \
+                if isinstance(shape[0], int) else orig_rand(*shape, **kw)
+
+        try:
+            torch.rand = lambda *s, **kw: torch.full(
+                s[0] if len(s) == 1 and not isinstance(s[0], int) else s, 0.5, **kw
+            )
+            with torch.no_grad():
+                ref_pix, ref_pos = tg(zg, za, **DET_META)
+        finally:
+            torch.rand = orig_rand
+
+        rcfg = gen.RenderConfig(
+            img_size=16, num_steps=6, h_stddev=0.0, v_stddev=0.0,
+            sample_dist=None, hierarchical=False, perturb=False,
+        )
+        out = gen.render_from_z(
+            params, fcfg, rcfg, jax.random.key(0),
+            jnp.asarray(zg.numpy()), jnp.asarray(za.numpy()), noise_std=0.0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["pixels"]), ref_pix.numpy(), atol=2e-3, rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["position"]), ref_pos.numpy(), atol=1e-6
+        )
+
+    def test_staged_forward_with_fill_matches(self):
+        tg, params, fcfg = _small_models()
+        zg = torch.randn(2, 8)
+        za = torch.randn(2, 8)
+        meta = dict(DET_META, fill_mode="seg_padding_background",
+                    fill_color="black", psi=1.0, max_batch_size=10**7)
+        orig_rand = torch.rand
+        try:
+            torch.rand = lambda *s, **kw: torch.full(
+                s[0] if len(s) == 1 and not isinstance(s[0], int) else s, 0.5, **kw
+            )
+            with torch.no_grad():
+                ref_pix, ref_depth = tg.staged_forward(zg, za, **meta)
+        finally:
+            torch.rand = orig_rand
+
+        rcfg = gen.RenderConfig(
+            img_size=16, num_steps=6, h_stddev=0.0, v_stddev=0.0,
+            sample_dist=None, hierarchical=False, perturb=False,
+            fill_mode="seg_padding_background", fill_color="black",
+        )
+        out = gen.render_from_z(
+            params, fcfg, rcfg, jax.random.key(0),
+            jnp.asarray(zg.numpy()), jnp.asarray(za.numpy()), noise_std=0.0,
+        )
+        assert out["pixels"].shape == (2, 22, 16, 16)  # (1 bg + 18 seg) + 3 rgb
+        np.testing.assert_allclose(
+            np.asarray(out["pixels"]), ref_pix.numpy(), atol=2e-3, rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["depth"]), ref_depth.numpy(), atol=1e-3
+        )
+
+
+class TestRenderProperties:
+    def test_ray_chunking_is_exact(self):
+        _, params, fcfg = _small_models()
+        rcfg = gen.RenderConfig(img_size=16, num_steps=6, hierarchical=True)
+        zg = jnp.asarray(np.random.RandomState(0).randn(2, 8).astype(np.float32))
+        za = jnp.asarray(np.random.RandomState(1).randn(2, 8).astype(np.float32))
+        a = gen.render_from_z(params, fcfg, rcfg, jax.random.key(5), zg, za)
+        b = gen.render_from_z(
+            params, fcfg, rcfg.replace(ray_chunk=64), jax.random.key(5), zg, za
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["pixels"]), np.asarray(b["pixels"]), atol=1e-5
+        )
+
+    def test_hierarchical_shapes_and_grads(self):
+        _, params, fcfg = _small_models()
+        rcfg = gen.RenderConfig(img_size=8, num_steps=6, hierarchical=True)
+        zg = jnp.ones((1, 8)) * 0.1
+        za = jnp.ones((1, 8)) * 0.2
+
+        def loss(p):
+            out = gen.render_from_z(p, fcfg, rcfg, jax.random.key(0), zg, za,
+                                    noise_std=0.3)
+            return jnp.sum(out["pixels"] ** 2)
+
+        g = jax.grad(loss)(params)
+        flat = jax.tree_util.tree_leaves(g)
+        assert all(bool(jnp.all(jnp.isfinite(x))) for x in flat)
+        total = sum(float(jnp.abs(x).sum()) for x in flat)
+        assert total > 0
+
+    def test_truncation_psi1_equals_raw(self):
+        _, params, fcfg = _small_models()
+        rcfg = gen.RenderConfig(img_size=8, num_steps=4, hierarchical=False,
+                                perturb=False, h_stddev=0.0, v_stddev=0.0,
+                                sample_dist=None)
+        zg = jnp.ones((1, 8)) * 0.3
+        za = jnp.ones((1, 8)) * -0.2
+        avg = fields.avg_film(params, fcfg, jax.random.key(1), n=100)
+        a = gen.render_truncated(params, fcfg, rcfg, jax.random.key(0), zg, za,
+                                 avg, psi=1.0)
+        b = gen.render_from_z(params, fcfg, rcfg, jax.random.key(0), zg, za)
+        np.testing.assert_allclose(
+            np.asarray(a["pixels"]), np.asarray(b["pixels"]), atol=1e-5
+        )
+
+    def test_render_jits_once_per_config(self):
+        _, params, fcfg = _small_models()
+        rcfg = gen.RenderConfig(img_size=8, num_steps=4)
+        f = jax.jit(gen.render_from_z, static_argnums=(1, 2))
+        zg = jnp.zeros((1, 8))
+        out = f(params, fcfg, rcfg, jax.random.key(0), zg, zg)
+        assert out["pixels"].shape == (1, 21, 8, 8)
+
+
+class TestVolumeEval:
+    def test_voxel_points_layout(self):
+        pts = gen.voxel_points(4, cube_length=0.3)
+        assert pts.shape == (64, 3)
+        # x varies fastest
+        assert float(pts[0, 0]) != float(pts[1, 0])
+        np.testing.assert_allclose(pts[0], [-0.15, -0.15, -0.15], atol=1e-6)
+        np.testing.assert_allclose(pts[-1], [0.15, 0.15, 0.15], atol=1e-6)
+
+    def test_eval_volume_matches_field(self):
+        _, params, fcfg = _small_models()
+        film_g, film_a = fields.field_film(
+            params, fcfg, jnp.ones((1, 8)), jnp.ones((1, 8))
+        )
+        pts = gen.voxel_points(8, 0.3)
+        out = gen.eval_volume(params, fcfg, film_g, film_a, pts, chunk=128)
+        assert out.shape == (512, 22)
+        # direct eval (locked dir) must agree
+        d = jnp.zeros_like(pts).at[..., -1].set(-1.0)
+        direct = fields.apply_field(params, fcfg, pts[None], d[None],
+                                    film_g, film_a)[0]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(direct), atol=1e-5)
