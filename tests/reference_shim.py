@@ -25,6 +25,18 @@ def import_reference_siren():
     fe = types.ModuleType("fid_evaluation")
     fe.output_images = None
     sys.modules.setdefault("fid_evaluation", fe)
+    # curriculums -> generators.neural_rendering -> kornia (absent)
+    kornia = types.ModuleType("kornia")
+    kfilters = types.ModuleType("kornia.filters")
+    kfilters.filter2D = None
+    kornia.filters = kfilters
+    sys.modules.setdefault("kornia", kornia)
+    sys.modules.setdefault("kornia.filters", kfilters)
+    # generators.util -> torchvision (absent): only the name is needed
+    tv = types.ModuleType("torchvision")
+    tv.transforms = types.ModuleType("torchvision.transforms")
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.transforms", tv.transforms)
     if _REFERENCE not in sys.path:
         sys.path.insert(0, _REFERENCE)
     from siren import siren as ref_siren  # noqa: PLC0415
@@ -41,18 +53,6 @@ def import_reference_discriminators():
 
 def import_reference_generators():
     import_reference_siren()
-    # curriculums -> generators.neural_rendering -> kornia (absent): stub it
-    kornia = types.ModuleType("kornia")
-    kfilters = types.ModuleType("kornia.filters")
-    kfilters.filter2D = None
-    kornia.filters = kfilters
-    sys.modules.setdefault("kornia", kornia)
-    sys.modules.setdefault("kornia.filters", kfilters)
-    # generators.util -> torchvision (absent): only the name is needed
-    tv = types.ModuleType("torchvision")
-    tv.transforms = types.ModuleType("torchvision.transforms")
-    sys.modules.setdefault("torchvision", tv)
-    sys.modules.setdefault("torchvision.transforms", tv.transforms)
     from generators import generators as ref_gen  # noqa: PLC0415
 
     return ref_gen

@@ -1,0 +1,110 @@
+"""Discriminator parity (vs reference CCS*Discriminator) + property tests."""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from fenerf_tpu.compat.torch_import import discriminator_from_torch
+from fenerf_tpu.nn import discriminators as disc
+
+from reference_shim import import_reference_discriminators
+
+ref_d = import_reference_discriminators()
+
+
+def _parity(img_size, alpha, input_dim=3, seed=0):
+    torch.manual_seed(seed)
+    tm = ref_d.CCSDoubleEncoderDiscriminator(
+        latent_geo_dim=16, latent_app_dim=16, input_dim=input_dim
+    )
+    tm.eval()
+    cfg = disc.DiscriminatorConfig(
+        input_dim=input_dim, latent_geo_dim=16, latent_app_dim=16
+    )
+    params = discriminator_from_torch(tm.state_dict())
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, input_dim, img_size, img_size).astype(np.float32)
+    with torch.no_grad():
+        r_score, r_geo, r_app, r_pos = tm(torch.tensor(x), alpha)
+    score, geo, app, pos = disc.apply_discriminator(
+        params, cfg, jnp.asarray(x), alpha
+    )
+    np.testing.assert_allclose(np.asarray(score), r_score.numpy(), atol=2e-4,
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(geo), r_geo.numpy(), atol=2e-4,
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(app), r_app.numpy(), atol=2e-4,
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(pos), r_pos.numpy(), atol=2e-4,
+                               rtol=1e-3)
+
+
+class TestDiscriminatorParity:
+    def test_32px_full_alpha(self):
+        _parity(32, 1.0)
+
+    def test_64px_fadein(self):
+        _parity(64, 0.3)
+
+    def test_128px(self):
+        _parity(128, 1.0)
+
+    def test_seg_input_21ch(self):
+        _parity(32, 0.7, input_dim=21)
+
+    def test_single_encoder(self):
+        torch.manual_seed(0)
+        tm = ref_d.CCSEncoderDiscriminator(latent_dim=16, input_dim=3)
+        tm.eval()
+        cfg = disc.DiscriminatorConfig(latent_geo_dim=16, latent_app_dim=0)
+        params = discriminator_from_torch(tm.state_dict())
+        x = np.random.RandomState(1).randn(2, 3, 32, 32).astype(np.float32)
+        with torch.no_grad():
+            r_score, r_lat, r_pos = tm(torch.tensor(x), 1.0)
+        score, geo, app, pos = disc.apply_discriminator(
+            params, cfg, jnp.asarray(x), 1.0
+        )
+        np.testing.assert_allclose(np.asarray(score), r_score.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(geo), r_lat.numpy(), atol=2e-4,
+                                   rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(pos), r_pos.numpy(), atol=2e-4,
+                                   rtol=1e-3)
+        assert app is None
+
+
+class TestDiscriminatorProperties:
+    def test_output_shapes(self):
+        cfg = disc.DiscriminatorConfig(latent_geo_dim=256, latent_app_dim=256)
+        params = disc.init_discriminator(jax.random.key(0), cfg)
+        x = jnp.zeros((4, 3, 64, 64))
+        s, g, a, p = disc.apply_discriminator(params, cfg, x, 0.5)
+        assert s.shape == (4, 1)
+        assert g.shape == (4, 256)
+        assert a.shape == (4, 256)
+        assert p.shape == (4, 2)
+
+    def test_alpha_one_equals_no_blend(self):
+        cfg = disc.DiscriminatorConfig(latent_geo_dim=8, latent_app_dim=8)
+        params = disc.init_discriminator(jax.random.key(1), cfg)
+        x = jax.random.normal(jax.random.key(2), (2, 3, 32, 32))
+        s1, *_ = disc.apply_discriminator(params, cfg, x, 1.0)
+        s2, *_ = disc.apply_discriminator(params, cfg, x, jnp.asarray(1.0))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+
+    def test_grad_wrt_input(self):
+        """R1 penalty needs d(score)/d(image) — core trainer requirement."""
+        cfg = disc.DiscriminatorConfig(latent_geo_dim=8, latent_app_dim=8)
+        params = disc.init_discriminator(jax.random.key(1), cfg)
+        x = jax.random.normal(jax.random.key(2), (2, 3, 32, 32))
+
+        def f(img):
+            s, *_ = disc.apply_discriminator(params, cfg, img, 1.0)
+            return s.sum()
+
+        g = jax.grad(f)(x)
+        assert g.shape == x.shape
+        assert float(jnp.abs(g).sum()) > 0
