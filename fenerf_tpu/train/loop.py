@@ -1,0 +1,332 @@
+"""Jitted GAN training step: D_img -> D_seg -> G, with R1, topk, EMA.
+
+Reference loop: /root/reference/train_double_latent_semantic.py:247-457.
+One call == one optimizer step for each of the three networks:
+
+  * D_img phase (:278-331): fresh fakes (no G grads), R1 penalty on real
+    images via double-backprop, identity/pose penalties on fakes,
+    softplus non-saturating loss, grad-clip, Adam.
+  * D_seg phase (:333-393): same but real input = [18ch mask | 3ch image],
+    fake input = the full 21ch generator output.
+  * G phase (:401-457): grad-accumulated over `batch_split` microbatches;
+    D_seg sees [labels | stop_grad(rgb)] so no RGB grads flow from the
+    semantic critic (:416-417); topk-GAN keeps the best
+    ceil(max(0.99^(step/interval), v) * B) fakes (:420-424); per-split mean
+    losses are summed (reference accumulates backward without rescaling);
+    then one Adam step + two EMA updates.
+
+TPU mapping: the whole step is ONE jitted function (static: curriculum
+stage). AMP GradScaler is dropped — grads are f32 end-to-end (bf16 is used
+inside matmuls only), so there is nothing to scale. Mapping-network 0.05x
+learning rate (unique_lr, :156-165) is an optax.multi_transform partition.
+Data parallelism: jit against a Mesh with the batch sharded on 'data' —
+XLA inserts the gradient all-reduces (see train/sharding.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fenerf_tpu.models import generator as gen
+from fenerf_tpu.nn import discriminators as disc
+from fenerf_tpu.nn import fields
+from fenerf_tpu.train import ema as emalib
+from fenerf_tpu.train.curriculum import StageMeta
+
+Params = Any
+
+
+class StepScalars(NamedTuple):
+    """Per-step dynamic inputs (everything else is static per stage)."""
+    alpha: jax.Array       # fade-in in [0, 1]
+    noise_std: jax.Array   # annealed nerf sigma noise
+    topk_frac: jax.Array   # fraction of fakes kept in the G loss
+
+
+class TrainState(NamedTuple):
+    g_params: Params
+    d_img_params: Params
+    d_seg_params: Params
+    opt_g: Any
+    opt_img: Any
+    opt_seg: Any
+    ema: emalib.EmaState
+    ema2: emalib.EmaState
+    step: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Optimizers
+# ---------------------------------------------------------------------------
+
+def _adam(lr: float, meta: StageMeta) -> optax.GradientTransformation:
+    tx = optax.adam(lr, b1=meta.betas[0], b2=meta.betas[1], eps=1e-8)
+    if meta.weight_decay:
+        tx = optax.chain(
+            optax.add_decayed_weights(meta.weight_decay), tx
+        )
+    return tx
+
+
+def _g_labels(g_params: Params) -> Params:
+    """Partition labels: mapping networks get the scaled learning rate."""
+    return {
+        k: jax.tree.map(lambda _: "map" if k in ("geo_map", "app_map") else "main", v)
+        for k, v in g_params.items()
+    }
+
+
+def make_g_optimizer(meta: StageMeta, g_params: Params) -> optax.GradientTransformation:
+    clip = optax.clip_by_global_norm(meta.grad_clip)
+    if meta.unique_lr:
+        tx = optax.multi_transform(
+            {"main": _adam(meta.gen_lr, meta),
+             "map": _adam(meta.gen_lr * meta.mapping_lr_mult, meta)},
+            _g_labels(g_params),
+        )
+    else:
+        tx = _adam(meta.gen_lr, meta)
+    return optax.chain(clip, tx)
+
+
+def make_d_optimizer(meta: StageMeta, which: str) -> optax.GradientTransformation:
+    lr = meta.disc_img_lr if which == "img" else meta.disc_seg_lr
+    return optax.chain(optax.clip_by_global_norm(meta.grad_clip), _adam(lr, meta))
+
+
+def init_train_state(key: jax.Array, meta: StageMeta) -> TrainState:
+    kg, ki, ks = jax.random.split(key, 3)
+    fcfg = meta.field_config()
+    g_params = fields.init_field(kg, fcfg)
+    d_img = disc.init_discriminator(ki, meta.disc_img_config())
+    d_seg = disc.init_discriminator(ks, meta.disc_seg_config())
+    return TrainState(
+        g_params=g_params,
+        d_img_params=d_img,
+        d_seg_params=d_seg,
+        opt_g=make_g_optimizer(meta, g_params).init(g_params),
+        opt_img=make_d_optimizer(meta, "img").init(d_img),
+        opt_seg=make_d_optimizer(meta, "seg").init(d_seg),
+        ema=emalib.ema_init(g_params, 0.999),
+        ema2=emalib.ema_init(g_params, 0.9999),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+def _mse(a, b):
+    return jnp.mean((a - b) ** 2)
+
+
+def _render_fakes(g_params, fcfg, rcfg, meta, key, z_geo, z_app, noise_std):
+    """Render the batch in batch_split microbatches (lax.map bounds peak
+    activation memory like the reference's split loop, train...py:284-295)."""
+    b = z_geo.shape[0]
+    s = meta.batch_split
+    assert b % s == 0, f"batch {b} not divisible by batch_split {s}"
+    keys = jax.random.split(key, s)
+
+    def one(args):
+        k, zg, za = args
+        out = gen.render_from_z(g_params, fcfg, rcfg, k, zg, za, noise_std)
+        return out["pixels"], out["position"]
+
+    pix, pos = jax.lax.map(
+        one, (keys, z_geo.reshape(s, b // s, -1), z_app.reshape(s, b // s, -1))
+    )
+    return pix.reshape(b, *pix.shape[2:]), pos.reshape(b, 2)
+
+
+def _d_loss(
+    d_params, dcfg, meta: StageMeta, real_in, fake_in,
+    z_geo, z_app, positions, alpha,
+):
+    """Discriminator loss with R1 + identity penalties (train...py:297-321)."""
+    def real_score_sum(x):
+        s, *_ = disc.apply_discriminator(d_params, dcfg, x, alpha)
+        return s.sum(), s
+
+    (_, r_scores), r1_grad = jax.value_and_grad(
+        real_score_sum, has_aux=True)(real_in)
+    b = real_in.shape[0]
+    r1 = (r1_grad.reshape(b, -1) ** 2).sum(-1).mean()
+    r1 = 0.5 * meta.r1_lambda * r1
+
+    f_score, f_geo, f_app, f_pos = disc.apply_discriminator(
+        d_params, dcfg, fake_in, alpha)
+    identity = (
+        meta.z_geo_lambda * _mse(f_geo, z_geo)
+        + meta.z_app_lambda * _mse(f_app, z_app)
+        + meta.pos_lambda * _mse(f_pos, positions)
+    )
+    loss = (
+        jax.nn.softplus(f_score).mean()
+        + jax.nn.softplus(-r_scores).mean()
+        + r1 + identity
+    )
+    return loss
+
+
+def _topk_mean(values_by_score_desc, frac):
+    """Mean of the first ceil(frac*B) entries (scores pre-sorted descending);
+    reference topk filtering, train...py:420-424."""
+    b = values_by_score_desc.shape[0]
+    k = jnp.ceil(frac * b).astype(jnp.int32)
+    mask = (jnp.arange(b) < k).astype(values_by_score_desc.dtype)
+    return jnp.sum(values_by_score_desc * mask) / k
+
+
+def _g_loss(
+    g_params, d_img_params, d_seg_params, fcfg, rcfg, meta: StageMeta,
+    key, z_geo, z_app, scal: StepScalars,
+):
+    out = gen.render_from_z(g_params, fcfg, rcfg, key, z_geo, z_app,
+                            scal.noise_std)
+    pixels, positions = out["pixels"], out["position"]
+    has_seg = meta.output_dim > 4
+    fake_rgb = pixels[:, -3:]
+    img_s, img_geo, img_app, img_pos = disc.apply_discriminator(
+        d_img_params, meta.disc_img_config(), fake_rgb, scal.alpha)
+
+    def identity(geo, app, pos):
+        return (
+            meta.z_geo_lambda * _mse(geo, z_geo)
+            + meta.z_app_lambda * _mse(app, z_app)
+            + meta.pos_lambda * _mse(pos, positions)
+        )
+
+    img_sp = jax.nn.softplus(-jnp.sort(img_s[:, 0])[::-1])
+    g_img_loss = _topk_mean(img_sp, scal.topk_frac) + identity(
+        img_geo, img_app, img_pos)
+
+    g_seg_loss = 0.0
+    if has_seg:
+        seg_in = jnp.concatenate(
+            [pixels[:, :-3], jax.lax.stop_gradient(fake_rgb)], axis=1)
+        seg_s, seg_geo, seg_app, seg_pos = disc.apply_discriminator(
+            d_seg_params, meta.disc_seg_config(), seg_in, scal.alpha)
+        seg_sp = jax.nn.softplus(-jnp.sort(seg_s[:, 0])[::-1])
+        g_seg_loss = (
+            _topk_mean(seg_sp, scal.topk_frac)
+            + identity(seg_geo, seg_app, seg_pos)
+        ) * meta.g_seg_loss_lambda
+
+    return g_img_loss + g_seg_loss, (g_img_loss, g_seg_loss)
+
+
+# ---------------------------------------------------------------------------
+# The train step
+# ---------------------------------------------------------------------------
+
+def train_step(
+    state: TrainState,
+    real_imgs: jax.Array,    # (B, 3, H, W) in [-1, 1]
+    real_labels: jax.Array,  # (B, 18, H, W) in [-1, 1]; ignored if rgb-only
+    key: jax.Array,
+    scal: StepScalars,
+    meta: StageMeta,         # static
+) -> tuple[TrainState, dict[str, jax.Array]]:
+    fcfg = meta.field_config()
+    rcfg = meta.render_config()
+    has_seg = meta.output_dim > 4
+    b = real_imgs.shape[0]
+
+    (k_zi, k_fi, k_zs, k_fs, k_zg, k_fg) = jax.random.split(key, 6)
+
+    def draw_z(k):
+        kg, ka = jax.random.split(k)
+        if meta.z_dist == "uniform":
+            zg = jax.random.uniform(kg, (b, meta.latent_geo_dim)) * 2 - 1
+            za = jax.random.uniform(ka, (b, meta.latent_app_dim)) * 2 - 1
+        else:
+            zg = jax.random.normal(kg, (b, meta.latent_geo_dim))
+            za = jax.random.normal(ka, (b, meta.latent_app_dim))
+        return zg, za
+
+    metrics = {}
+
+    # ---------------- D_img ----------------
+    zg, za = draw_z(k_zi)
+    fake_pix, fake_pos = jax.lax.stop_gradient(
+        _render_fakes(state.g_params, fcfg, rcfg, meta, k_fi, zg, za,
+                      scal.noise_std))
+    d_img_loss, d_img_grads = jax.value_and_grad(_d_loss)(
+        state.d_img_params, meta.disc_img_config(), meta,
+        real_imgs, fake_pix[:, -3:], zg, za, fake_pos, scal.alpha)
+    tx_img = make_d_optimizer(meta, "img")
+    upd, opt_img = tx_img.update(d_img_grads, state.opt_img,
+                                 state.d_img_params)
+    d_img_params = optax.apply_updates(state.d_img_params, upd)
+    metrics["d_img_loss"] = d_img_loss
+
+    # ---------------- D_seg ----------------
+    if has_seg:
+        zg, za = draw_z(k_zs)
+        fake_pix, fake_pos = jax.lax.stop_gradient(
+            _render_fakes(state.g_params, fcfg, rcfg, meta, k_fs, zg, za,
+                          scal.noise_std))
+        real_seg_in = jnp.concatenate([real_labels, real_imgs], axis=1)
+        d_seg_loss, d_seg_grads = jax.value_and_grad(_d_loss)(
+            state.d_seg_params, meta.disc_seg_config(), meta,
+            real_seg_in, fake_pix, zg, za, fake_pos, scal.alpha)
+        tx_seg = make_d_optimizer(meta, "seg")
+        upd, opt_seg = tx_seg.update(d_seg_grads, state.opt_seg,
+                                     state.d_seg_params)
+        d_seg_params = optax.apply_updates(state.d_seg_params, upd)
+        metrics["d_seg_loss"] = d_seg_loss
+    else:
+        d_seg_params, opt_seg = state.d_seg_params, state.opt_seg
+        metrics["d_seg_loss"] = jnp.asarray(0.0)
+
+    # ---------------- G (grad-accumulated over batch_split) -------------
+    zg, za = draw_z(k_zg)
+    s = meta.batch_split
+    bs = b // s
+    gkeys = jax.random.split(k_fg, s)
+
+    def split_grads(carry, xs):
+        gsum, lsum, lsum_img, lsum_seg = carry
+        k, zgs, zas = xs
+        (loss, (li, ls)), grads = jax.value_and_grad(
+            _g_loss, has_aux=True)(
+            state.g_params, d_img_params, d_seg_params, fcfg, rcfg, meta,
+            k, zgs, zas, scal)
+        gsum = jax.tree.map(jnp.add, gsum, grads)
+        return (gsum, lsum + loss, lsum_img + li, lsum_seg + ls), None
+
+    zero_g = jax.tree.map(jnp.zeros_like, state.g_params)
+    (g_grads, g_loss, g_img_loss, g_seg_loss), _ = jax.lax.scan(
+        split_grads,
+        (zero_g, jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.0)),
+        (gkeys, zg.reshape(s, bs, -1), za.reshape(s, bs, -1)),
+    )
+    tx_g = make_g_optimizer(meta, state.g_params)
+    upd, opt_g = tx_g.update(g_grads, state.opt_g, state.g_params)
+    g_params = optax.apply_updates(state.g_params, upd)
+    metrics.update(g_loss=g_loss, g_img_loss=g_img_loss,
+                   g_seg_loss=g_seg_loss)
+    metrics["d_loss"] = metrics["d_img_loss"] + metrics["d_seg_loss"]
+
+    new_state = TrainState(
+        g_params=g_params,
+        d_img_params=d_img_params,
+        d_seg_params=d_seg_params,
+        opt_g=opt_g, opt_img=opt_img, opt_seg=opt_seg,
+        ema=emalib.ema_update(state.ema, g_params),
+        ema2=emalib.ema_update(state.ema2, g_params),
+        step=state.step + 1,
+    )
+    return new_state, metrics
+
+
+def jit_train_step(meta: StageMeta):
+    """One compiled program per curriculum stage."""
+    return jax.jit(partial(train_step, meta=meta), donate_argnums=(0,))

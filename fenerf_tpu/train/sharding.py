@@ -1,0 +1,56 @@
+"""Data-parallel training over a device mesh.
+
+The reference's only distributed feature is DDP data parallelism over gloo
+(train_double_latent_semantic.py:58-63,148-150; SURVEY.md §2.3). The TPU
+equivalent is one jitted SPMD program over a 1-D 'data' mesh: parameters and
+optimizer state replicated, the batch (and per-step RNG-derived fakes)
+sharded on 'data', gradient all-reduce inserted by XLA over ICI — no
+explicit psum, no barriers, no rank bookkeeping.
+
+Multi-host: jax.distributed.initialize() + per-host data loading replace
+init_process_group + DistributedSampler; everything below is unchanged
+because jit compiles against the global mesh.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fenerf_tpu.train import loop as looplib
+from fenerf_tpu.train.curriculum import StageMeta
+
+
+def data_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place per-example arrays with the batch axis split over 'data'."""
+    sh = NamedSharding(mesh, P("data"))
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def replicate(mesh: Mesh, tree):
+    sh = NamedSharding(mesh, P())
+    return jax.device_put(tree, sh)
+
+
+def jit_train_step_sharded(meta: StageMeta, mesh: Mesh):
+    """Compile the train step against a mesh: state replicated, batch sharded.
+
+    The per-device batch is (global batch / mesh size); XLA all-reduces the
+    three gradient trees over ICI automatically.
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        partial(looplib.train_step, meta=meta),
+        in_shardings=(repl, data, data, repl, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,172 @@
+"""Training-step tests: single-device semantics + virtual 8-device mesh."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fenerf_tpu.train import ema as emalib
+from fenerf_tpu.train import loop as looplib
+from fenerf_tpu.train import sharding
+from fenerf_tpu.train.curriculum import get_curriculum
+
+
+def tiny_meta(**overrides):
+    """A CPU-sized stage: tiny field, tiny images."""
+    meta = get_curriculum("CelebA_double_semantic").at_step(0)
+    kw = dict(
+        batch_size=4, batch_split=2, img_size=16, num_steps=4,
+        latent_geo_dim=8, latent_app_dim=8,
+    )
+    kw.update(overrides)
+    return dataclasses.replace(meta, **kw)
+
+
+def tiny_field_meta(meta):
+    # shrink the SIREN too (hidden_dim override through field_config)
+    fcfg = meta.field_config()
+    return dataclasses.replace(fcfg, hidden_dim=16, map_hidden_dim=16)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(monkeypatch_module=None):
+    meta = tiny_meta()
+    # monkeypatch field_config to the tiny variant for speed
+    small = tiny_field_meta(meta)
+    object.__setattr__(meta, "__small_field__", None)  # marker only
+    return meta, small
+
+
+def _patch_small_field(monkeypatch, meta):
+    small = tiny_field_meta(meta)
+    monkeypatch.setattr(
+        type(meta), "field_config", lambda self: small, raising=True
+    )
+    return small
+
+
+class TestEma:
+    def test_warmup_decay(self):
+        p = {"w": jnp.zeros(3)}
+        st = emalib.ema_init(p, 0.999)
+        st = emalib.ema_update(st, {"w": jnp.ones(3)})
+        # n=1 -> decay = min(0.999, 2/11)
+        expected = 1.0 - 2.0 / 11.0
+        np.testing.assert_allclose(st.params["w"], expected, rtol=1e-6)
+        assert int(st.num_updates) == 1
+
+    def test_converges_to_params(self):
+        st = emalib.ema_init({"w": jnp.zeros(2)}, 0.5)
+        for _ in range(50):
+            st = emalib.ema_update(st, {"w": jnp.ones(2)})
+        np.testing.assert_allclose(st.params["w"], 1.0, atol=1e-4)
+
+
+class TestTrainStep:
+    def test_one_step_updates_everything(self, monkeypatch):
+        meta = tiny_meta()
+        _patch_small_field(monkeypatch, meta)
+        state = looplib.init_train_state(jax.random.key(0), meta)
+        rng = np.random.RandomState(0)
+        imgs = jnp.asarray(rng.randn(4, 3, 16, 16).astype(np.float32))
+        labels = jnp.asarray(rng.randn(4, 18, 16, 16).astype(np.float32))
+        scal = looplib.StepScalars(
+            alpha=jnp.asarray(0.5), noise_std=jnp.asarray(1.0),
+            topk_frac=jnp.asarray(1.0),
+        )
+        # snapshot before the step: donate_argnums invalidates old buffers
+        old_leaves = {
+            name: [np.asarray(x) for x in
+                   jax.tree_util.tree_leaves(getattr(state, name))]
+            for name in ("g_params", "d_img_params", "d_seg_params")
+        }
+        step_fn = looplib.jit_train_step(meta)
+        new_state, metrics = step_fn(state, imgs, labels, jax.random.key(1),
+                                     scal)
+        assert int(new_state.step) == 1
+        for k in ("d_img_loss", "d_seg_loss", "g_loss"):
+            assert np.isfinite(float(metrics[k])), k
+        # all three param trees changed
+        for name, old in old_leaves.items():
+            new = jax.tree_util.tree_leaves(getattr(new_state, name))
+            diff = sum(float(np.abs(a - np.asarray(b)).sum())
+                       for a, b in zip(old, new))
+            assert diff > 0, f"{name} did not update"
+        # EMA moved toward params
+        assert int(new_state.ema.num_updates) == 1
+
+    def test_topk_mean(self):
+        vals = jnp.asarray([4.0, 3.0, 2.0, 1.0])
+        np.testing.assert_allclose(
+            float(looplib._topk_mean(vals, jnp.asarray(0.5))), 3.5)
+        np.testing.assert_allclose(
+            float(looplib._topk_mean(vals, jnp.asarray(1.0))), 2.5)
+        # ceil(0.6*4)=3
+        np.testing.assert_allclose(
+            float(looplib._topk_mean(vals, jnp.asarray(0.6))), 3.0)
+
+
+class TestShardedTrainStep:
+    def test_8_device_mesh_step(self, monkeypatch):
+        assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+        # minimal shapes: this CI box has 1 core hosting 8 virtual devices,
+        # so the graph must be tiny to finish before the collective watchdog
+        meta = tiny_meta(batch_size=8, batch_split=1, img_size=8, num_steps=2)
+        _patch_small_field(monkeypatch, meta)
+        mesh = sharding.data_mesh()
+        state = looplib.init_train_state(jax.random.key(0), meta)
+        state = sharding.replicate(mesh, state)
+        rng = np.random.RandomState(0)
+        imgs, labels = sharding.shard_batch(
+            mesh,
+            rng.randn(8, 3, 8, 8).astype(np.float32),
+            rng.randn(8, 18, 8, 8).astype(np.float32),
+        )
+        scal = looplib.StepScalars(
+            alpha=jnp.asarray(1.0), noise_std=jnp.asarray(0.5),
+            topk_frac=jnp.asarray(1.0),
+        )
+        step_fn = sharding.jit_train_step_sharded(meta, mesh)
+        with mesh:
+            new_state, metrics = step_fn(state, imgs, labels,
+                                         jax.random.key(1), scal)
+        assert np.isfinite(float(metrics["g_loss"]))
+        assert int(new_state.step) == 1
+
+
+class TestCurriculum:
+    def test_stage_resolution(self):
+        cur = get_curriculum("CelebA_double_semantic_texture_embedding_256_dim_96")
+        m0 = cur.at_step(0)
+        assert (m0.img_size, m0.batch_size, m0.num_steps) == (32, 24, 24)
+        m1 = cur.at_step(20_000)
+        assert (m1.img_size, m1.batch_size) == (64, 48)
+        m2 = cur.at_step(499_999)
+        assert (m2.img_size, m2.batch_size) == (128, 24)
+        assert m2.gen_lr == 2e-5
+
+    def test_alpha_fade(self):
+        cur = get_curriculum("CelebA_double_semantic")
+        assert cur.alpha(10_000) == 0.0  # fresh stage boundary
+        assert cur.alpha(15_000) == 0.5
+        assert cur.alpha(45_000) == 1.0
+
+    def test_noise_and_topk_schedules(self):
+        m = get_curriculum("CelebA_double_semantic").at_step(0)
+        assert m.nerf_noise(0) == 1.0
+        assert m.nerf_noise(5000) == 0.0
+        assert m.topk_fraction(0) == 1.0
+        assert abs(m.topk_fraction(2000) - 0.99) < 1e-9
+        assert m.topk_fraction(10**6) == 0.6
+
+    def test_field_and_render_configs(self):
+        m = get_curriculum("CelebA_double_semantic").at_step(0)
+        fcfg = m.field_config()
+        assert fcfg.name == "SIRENBASELINESEMANTICDISENTANGLE"
+        assert fcfg.output_dim == 22
+        rcfg = m.render_config()
+        assert rcfg.img_size == 32 and rcfg.hierarchical
+        ecfg = m.eval_render_config(img_size=128)
+        assert ecfg.fill_mode == "seg_padding_background"
+        assert ecfg.img_size == 128
