@@ -1,0 +1,142 @@
+"""Benchmark: rays/sec/chip, 128x128 hierarchical render of the flagship
+dual-latent semantic NeRF (TextureEmbeddingPiGAN256SEMANTICDISENTANGLE_DIM_96,
+24 coarse + 24 fine samples/ray — the FID/eval render protocol,
+/root/reference/fid_evaluation.py + render defaults).
+
+Prints ONE JSON line:
+  {"metric": "rays_per_sec_chip_128px_render", "value": N, "unit": "rays/s",
+   "vs_baseline": R}
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md) and no GPU
+exists in this container, so the denominator is the reference PyTorch
+implementation measured on this host's CPU (the only runnable reference),
+cached in BASELINE_MEASURED.json after the first run. Interpret accordingly:
+it is a TPU-chip vs CPU-core ratio, not TPU vs GPU.
+
+Details (timings, config) go to stderr; stdout carries only the JSON line.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_FILE = os.path.join(REPO, "BASELINE_MEASURED.json")
+
+IMG = 128
+STEPS = 24
+BATCH = 4
+WARMUP = 2
+ITERS = 8
+RAYS_PER_IMG = IMG * IMG
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from fenerf_tpu.models import generator as gen
+    from fenerf_tpu.nn import fields
+
+    log(f"devices: {jax.devices()}")
+    fcfg = fields.get_config("TextureEmbeddingPiGAN256SEMANTICDISENTANGLE_DIM_96")
+    rcfg = gen.RenderConfig(
+        img_size=IMG, num_steps=STEPS, hierarchical=True,
+        h_stddev=0.0, v_stddev=0.0, sample_dist=None,
+        fill_mode="seg_padding_background",
+        compute_dtype="bfloat16",
+    )
+    params = fields.init_field(jax.random.key(0), fcfg)
+    film_g, film_a = fields.field_film(
+        params, fcfg,
+        jax.random.normal(jax.random.key(1), (BATCH, fcfg.z_geo_dim)),
+        jax.random.normal(jax.random.key(2), (BATCH, fcfg.z_app_dim)),
+    )
+
+    @jax.jit
+    def render(params, key, film_g, film_a):
+        return gen.render(params, fcfg, rcfg, key, film_g, film_a,
+                          batch_size=BATCH, noise_std=0.0)["pixels"]
+
+    key = jax.random.key(3)
+    t0 = time.perf_counter()
+    render(params, key, film_g, film_a).block_until_ready()
+    log(f"first call (compile+run): {time.perf_counter() - t0:.1f}s")
+    for _ in range(WARMUP - 1):
+        render(params, key, film_g, film_a).block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        out = render(params, jax.random.fold_in(key, i), film_g, film_a)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    rays_per_sec = BATCH * RAYS_PER_IMG * ITERS / dt
+    log(f"tpu: {ITERS} renders of {BATCH}x{IMG}x{IMG} in {dt:.3f}s "
+        f"-> {rays_per_sec:,.0f} rays/s ({rays_per_sec * 2 * STEPS:,.0f} pts/s)")
+    return rays_per_sec
+
+
+def bench_reference_cpu() -> float:
+    """Reference torch-CPU rays/sec at the same per-ray cost (48 field
+    evaluations/ray). Measured through the reference's own staged point loop
+    granularity: batched forward_with_frequencies_phase_shifts."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from reference_shim import import_reference_siren
+
+    import torch
+
+    ref_siren = import_reference_siren()
+    torch.manual_seed(0)
+    m = ref_siren.TextureEmbeddingPiGAN256SEMANTICDISENTANGLE_DIM_96(
+        z_geo_dim=256, z_app_dim=256, output_dim=22)
+    m.eval()
+    n_pts = 24576
+    pts = torch.randn(1, n_pts, 3) * 0.1
+    dirs = torch.randn(1, n_pts, 3)
+    with torch.no_grad():
+        fg, pg = m.geo_mapping_network(torch.randn(1, 256))
+        fa, pa = m.app_mapping_network(torch.randn(1, 256))
+        m(pts[:, :128], torch.randn(1, 256), torch.randn(1, 256),
+          ray_directions=dirs[:, :128])  # warmup
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            m.forward_with_frequencies_phase_shifts(
+                pts, fg, fa, pg, pa, ray_directions=dirs)
+        dt = time.perf_counter() - t0
+    pts_per_sec = n_pts * reps / dt
+    rays_per_sec = pts_per_sec / (2 * STEPS)
+    log(f"reference torch-cpu: {pts_per_sec:,.0f} pts/s "
+        f"-> {rays_per_sec:,.0f} rays/s at {2 * STEPS} pts/ray")
+    return rays_per_sec
+
+
+def main():
+    value = bench_tpu()
+    if os.path.exists(BASELINE_FILE) and not os.environ.get("REMEASURE"):
+        base = json.load(open(BASELINE_FILE))
+    else:
+        base = {
+            "reference_cpu_rays_per_sec": bench_reference_cpu(),
+            "note": "reference PyTorch measured on this host's CPU "
+                    "(no GPU available); see bench.py docstring",
+        }
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(base, f, indent=1)
+    denom = base["reference_cpu_rays_per_sec"]
+    print(json.dumps({
+        "metric": "rays_per_sec_chip_128px_render",
+        "value": round(value, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(value / denom, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -73,15 +73,21 @@ class StageMeta:
     background_mask: bool
     channel_seg: int = 18
     mapping_lr_mult: float = 5e-2
+    # extra FieldConfig replacements, e.g. (("hidden_dim", 16),) for tiny
+    # test/dry-run instantiations of the full architecture
+    field_overrides: tuple = ()
 
     # ---- derived configs --------------------------------------------------
     def field_config(self) -> FieldConfig:
-        return get_config(
+        cfg = get_config(
             self.model,
             z_geo_dim=self.latent_geo_dim,
             z_app_dim=self.latent_app_dim,
             n_labels=self.output_dim - 4,
         )
+        if self.field_overrides:
+            cfg = dataclasses.replace(cfg, **dict(self.field_overrides))
+        return cfg
 
     def render_config(self, **overrides) -> RenderConfig:
         kw = dict(

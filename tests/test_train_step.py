@@ -13,37 +13,15 @@ from fenerf_tpu.train.curriculum import get_curriculum
 
 
 def tiny_meta(**overrides):
-    """A CPU-sized stage: tiny field, tiny images."""
+    """A CPU-sized stage: full architecture, tiny widths/images."""
     meta = get_curriculum("CelebA_double_semantic").at_step(0)
     kw = dict(
         batch_size=4, batch_split=2, img_size=16, num_steps=4,
         latent_geo_dim=8, latent_app_dim=8,
+        field_overrides=(("hidden_dim", 16), ("map_hidden_dim", 16)),
     )
     kw.update(overrides)
     return dataclasses.replace(meta, **kw)
-
-
-def tiny_field_meta(meta):
-    # shrink the SIREN too (hidden_dim override through field_config)
-    fcfg = meta.field_config()
-    return dataclasses.replace(fcfg, hidden_dim=16, map_hidden_dim=16)
-
-
-@pytest.fixture(scope="module")
-def tiny_setup(monkeypatch_module=None):
-    meta = tiny_meta()
-    # monkeypatch field_config to the tiny variant for speed
-    small = tiny_field_meta(meta)
-    object.__setattr__(meta, "__small_field__", None)  # marker only
-    return meta, small
-
-
-def _patch_small_field(monkeypatch, meta):
-    small = tiny_field_meta(meta)
-    monkeypatch.setattr(
-        type(meta), "field_config", lambda self: small, raising=True
-    )
-    return small
 
 
 class TestEma:
@@ -64,9 +42,8 @@ class TestEma:
 
 
 class TestTrainStep:
-    def test_one_step_updates_everything(self, monkeypatch):
+    def test_one_step_updates_everything(self):
         meta = tiny_meta()
-        _patch_small_field(monkeypatch, meta)
         state = looplib.init_train_state(jax.random.key(0), meta)
         rng = np.random.RandomState(0)
         imgs = jnp.asarray(rng.randn(4, 3, 16, 16).astype(np.float32))
@@ -108,12 +85,11 @@ class TestTrainStep:
 
 
 class TestShardedTrainStep:
-    def test_8_device_mesh_step(self, monkeypatch):
+    def test_8_device_mesh_step(self):
         assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
         # minimal shapes: this CI box has 1 core hosting 8 virtual devices,
         # so the graph must be tiny to finish before the collective watchdog
         meta = tiny_meta(batch_size=8, batch_split=1, img_size=8, num_steps=2)
-        _patch_small_field(monkeypatch, meta)
         mesh = sharding.data_mesh()
         state = looplib.init_train_state(jax.random.key(0), meta)
         state = sharding.replicate(mesh, state)
