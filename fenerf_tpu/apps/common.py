@@ -1,0 +1,120 @@
+"""Shared app plumbing: self-describing generator checkpoints, camera
+trajectories, film interpolation.
+
+Checkpoint = one .npz carrying params + both EMA trees + a JSON config
+(curriculum, model, dims, step). Replaces the reference's path-string
+conventions (ema path derived by splitting the generator path,
+render_multiview_images_double_semantic.py:62).
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fenerf_tpu.nn import fields
+
+
+def save_generator(
+    path: str,
+    params: Any,
+    ema_params: Any,
+    ema2_params: Any,
+    model: str,
+    step: int,
+    field_kwargs: dict | None = None,
+) -> None:
+    config = {"model": model, "step": int(step),
+              "field_kwargs": field_kwargs or {}}
+    arrays = {}
+    for name, tree in (("params", params), ("ema", ema_params),
+                       ("ema2", ema2_params)):
+        leaves = jax.tree_util.tree_leaves(tree)
+        for i, leaf in enumerate(leaves):
+            arrays[f"{name}_{i}"] = np.asarray(leaf)
+        config[f"n_{name}"] = len(leaves)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, __config__=json.dumps(config), **arrays)
+    os.replace(tmp, path)
+
+
+def load_generator(path: str):
+    """-> (params, ema_params, ema2_params, fcfg, config dict)."""
+    with np.load(path, allow_pickle=False) as data:
+        config = json.loads(str(data["__config__"]))
+        fcfg = fields.get_config(config["model"], **config["field_kwargs"])
+        template = fields.init_field(jax.random.key(0), fcfg)
+        treedef = jax.tree_util.tree_structure(template)
+
+        def tree(name):
+            leaves = [jnp.asarray(data[f"{name}_{i}"])
+                      for i in range(config[f"n_{name}"])]
+            return jax.tree_util.tree_unflatten(treedef, leaves)
+
+        return tree("params"), tree("ema"), tree("ema2"), fcfg, config
+
+
+def camera_trajectory(name: str, num_frames: int, base_fov: float):
+    """(t, pitch, yaw, fov) tuples matching the reference trajectories
+    (render_video_interpolation_semantic.py:324-371,
+    inverse_render_double_semantic.py:510-570)."""
+    two_pi = 2 * math.pi
+    half_pi = math.pi / 2
+    out = []
+    if name == "front":
+        for t in np.linspace(0, 1, num_frames, endpoint=True):
+            out.append((t, 0.2 * np.cos(t * two_pi) + half_pi,
+                        0.4 * np.sin(t * two_pi) + half_pi,
+                        base_fov + 5 + np.sin(t * two_pi) * 5))
+    elif name == "orbit":
+        for t in np.linspace(0, 0.5, num_frames, endpoint=True):
+            out.append((t, half_pi, t * two_pi, base_fov))
+    elif name == "rotation_horizontal":
+        for t in np.linspace(-1, 1, num_frames):
+            out.append((t, half_pi, half_pi + t * 0.5, base_fov))
+    elif name == "rotation_linear":
+        for t in np.linspace(-0.4, 0.4, num_frames):
+            out.append((t, half_pi, half_pi + t, base_fov))
+    elif name == "non_rotation":
+        for t in np.linspace(0, 1, num_frames, endpoint=True):
+            out.append((t, half_pi, half_pi, base_fov))
+    elif name == "sphere":
+        for t in np.linspace(0, 1, num_frames, endpoint=True):
+            out.append((t, 0.2 * np.cos(t * two_pi) + half_pi,
+                        0.4 * np.sin(t * two_pi) + half_pi, base_fov))
+    elif name == "inverse_sphere":
+        for t in np.linspace(0, 1, num_frames):
+            out.append((t, 0.2 * (1 - np.cos(t * two_pi)) + half_pi,
+                        0.4 * np.sin(t * two_pi) + half_pi, base_fov))
+    elif name == "zoom":
+        for t in np.linspace(0, 1, num_frames):
+            out.append((t, half_pi, half_pi,
+                        base_fov + np.sin(t * two_pi) * 5))
+    else:
+        raise ValueError(f"unknown trajectory {name!r}")
+    # map to python floats; t retained for latent interpolation
+    return [(float(t), float(p), float(y), float(f)) for t, p, y, f in out]
+
+
+def interpolate_films(film1, film2, t: float, latent_type: str, which: str):
+    """Lerp one branch's (freqs, phases) per the reference
+    DoubleFrequencyInterpolator (render_video...py:131-179): 'geo' lerps only
+    the geometry branch, 'app' only appearance with t remapped to (2t-1),
+    'both' lerps both, 'non' holds endpoint 1."""
+    lerp_geo = latent_type in ("geo", "both")
+    lerp_app = latent_type in ("app", "both")
+    if which == "geo":
+        do, tt = lerp_geo, t
+    else:
+        do, tt = lerp_app, ((t - 0.5) * 2 if latent_type == "app" else t)
+    if not do:
+        return film1
+    f1, p1 = film1
+    f2, p2 = film2
+    return (f1 * (1 - tt) + f2 * tt, p1 * (1 - tt) + p2 * tt)

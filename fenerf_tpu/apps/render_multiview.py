@@ -1,0 +1,95 @@
+"""Multiview portrait renderer CLI.
+
+Reference: /root/reference/render_multiview_images_double_semantic.py —
+loads generator + EMA, renders each seed at 5 yaw angles
+(h_mean +- {0, 0.25, 0.5}) with psi truncation, saves an RGB grid and a
+palette-colorized segmentation grid per seed.
+
+Usage:
+  python -m fenerf_tpu.apps.render_multiview --ckpt out/generator.npz \
+      --seeds 0 1 2 3 --output_dir imgs --image_size 256
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--seeds", nargs="+", type=int, default=[0, 1, 2])
+    p.add_argument("--output_dir", default="imgs")
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--num_steps", type=int, default=24)
+    p.add_argument("--ray_step_multiplier", type=int, default=2)
+    p.add_argument("--psi", type=float, default=0.7)
+    p.add_argument("--use_ema", action="store_true", default=True)
+    p.add_argument("--no_ema", dest="use_ema", action="store_false")
+    p.add_argument("--ray_chunk", type=int, default=4096)
+    p.add_argument("--fov", type=float, default=12.0)
+    p.add_argument("--fill_mode", default="seg_padding_background")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from fenerf_tpu.apps.common import load_generator
+    from fenerf_tpu.models import generator as gen
+    from fenerf_tpu.nn import fields
+    from fenerf_tpu.utils.image import mask2color, make_grid, save_png, to_uint8
+
+    params, ema, _, fcfg, config = load_generator(args.ckpt)
+    if args.use_ema:
+        params = ema
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    steps = args.num_steps * args.ray_step_multiplier // 2
+    yaw_offsets = [-0.5, -0.25, 0.0, 0.25, 0.5]
+    avg = fields.avg_film(params, fcfg, jax.random.key(42))
+
+    rcfg = gen.RenderConfig(
+        img_size=args.image_size, num_steps=steps, hierarchical=True,
+        perturb=True, fill_mode=args.fill_mode, fov=args.fov,
+        ray_chunk=args.ray_chunk, compute_dtype="bfloat16",
+    )
+
+    @jax.jit
+    def render_one(params, z_geo, z_app, yaw):
+        camera = (jnp.asarray(math.pi * 0.5), yaw, jnp.asarray(args.fov))
+        film_geo, film_app = fields.field_film(params, fcfg, z_geo, z_app)
+        film_geo = fields.truncate_film(film_geo, avg[0], args.psi)
+        film_app = fields.truncate_film(film_app, avg[1], args.psi)
+        out = gen.render(params, fcfg, rcfg, jax.random.key(0),
+                         film_geo, film_app, batch_size=z_geo.shape[0],
+                         noise_std=0.0, camera=camera)
+        return out["pixels"]
+
+    for seed in args.seeds:
+        k = jax.random.key(seed)
+        kg, ka = jax.random.split(k)
+        z_geo = jax.random.normal(kg, (1, fcfg.z_geo_dim))
+        z_app = jax.random.normal(ka, (1, fcfg.z_app_dim))
+        rgbs, segs = [], []
+        for off in yaw_offsets:
+            pix = np.asarray(render_one(params, z_geo, z_app,
+                                        jnp.asarray(math.pi * 0.5 + off)))
+            rgbs.append(pix[0, -3:])
+            if fcfg.n_labels:
+                segs.append(mask2color(pix[:, :-3])[0])
+        grid = make_grid(
+            to_uint8(np.stack(rgbs), normalize=True).transpose(0, 2, 3, 1),
+            nrow=len(yaw_offsets),
+        )
+        save_png(os.path.join(args.output_dir, f"img_{seed}.png"), grid)
+        if segs:
+            save_png(os.path.join(args.output_dir, f"seg_{seed}.png"),
+                     make_grid(np.stack(segs), nrow=len(yaw_offsets)))
+        print(f"seed {seed}: wrote {len(yaw_offsets)} views")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Free-viewpoint video with disentangled latent interpolation.
+
+Reference: /root/reference/render_video_interpolation_semantic.py —
+camera trajectory (front/orbit/rotation_horizontal/non_rotation/sphere/zoom)
++ geo/app/both/non latent lerp between seed s and s+1 in truncated W space;
+writes per-frame image/seg/opacity/depth(jet) and an mp4 triptych.
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--seeds", nargs="+", type=int, default=[0])
+    p.add_argument("--output_dir", default="videos")
+    p.add_argument("--image_size", type=int, default=128)
+    p.add_argument("--num_steps", type=int, default=24)
+    p.add_argument("--num_frames", type=int, default=36)
+    p.add_argument("--fps", type=int, default=12)
+    p.add_argument("--psi", type=float, default=0.7)
+    p.add_argument("--trajectory", default="front",
+                   choices=["front", "orbit", "rotation_horizontal",
+                            "rotation_linear", "non_rotation", "sphere",
+                            "inverse_sphere", "zoom"])
+    p.add_argument("--latent_type", default="geo",
+                   choices=["geo", "app", "both", "non"])
+    p.add_argument("--use_ema", action="store_true", default=True)
+    p.add_argument("--no_ema", dest="use_ema", action="store_false")
+    p.add_argument("--save_frames", action="store_true")
+    p.add_argument("--ray_chunk", type=int, default=4096)
+    p.add_argument("--fill_mode", default="eval_seg_padding_background")
+    args = p.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from fenerf_tpu.apps.common import (camera_trajectory, interpolate_films,
+                                        load_generator)
+    from fenerf_tpu.models import generator as gen
+    from fenerf_tpu.nn import fields
+    from fenerf_tpu.utils.image import (depth_to_jet, mask2color, save_png,
+                                        to_uint8, write_mp4)
+
+    params, ema, _, fcfg, config = load_generator(args.ckpt)
+    if args.use_ema:
+        params = ema
+    os.makedirs(args.output_dir, exist_ok=True)
+    avg = fields.avg_film(params, fcfg, jax.random.key(42))
+
+    def films_for_seed(seed):
+        kg, ka = jax.random.split(jax.random.key(seed))
+        zg = jax.random.normal(kg, (1, fcfg.z_geo_dim))
+        za = jax.random.normal(ka, (1, fcfg.z_app_dim))
+        fg, fa = fields.field_film(params, fcfg, zg, za)
+        return (fields.truncate_film(fg, avg[0], args.psi),
+                fields.truncate_film(fa, avg[1], args.psi))
+
+    rcfg = gen.RenderConfig(
+        img_size=args.image_size, num_steps=args.num_steps,
+        hierarchical=True, fill_mode=args.fill_mode,
+        ray_chunk=args.ray_chunk, compute_dtype="bfloat16",
+    )
+
+    @jax.jit
+    def render_frame(params, film_geo, film_app, camera):
+        # camera (pitch, yaw, fov) is traced: one compiled program serves
+        # every frame of every trajectory
+        return gen.render(params, fcfg, rcfg, jax.random.key(0),
+                          film_geo, film_app, batch_size=1, noise_std=0.0,
+                          camera=camera)
+
+    traj = camera_trajectory(args.trajectory, args.num_frames,
+                             base_fov=12.0)
+
+    for seed in args.seeds:
+        films1 = films_for_seed(seed)
+        films2 = films_for_seed(seed + 1)
+        frames = []
+        for i, (t, pitch, yaw, fov) in enumerate(traj):
+            fg = interpolate_films(films1[0], films2[0], t,
+                                   args.latent_type, "geo")
+            fa = interpolate_films(films1[1], films2[1], t,
+                                   args.latent_type, "app")
+            import jax.numpy as jnp
+            out = render_frame(params, fg, fa,
+                               (jnp.asarray(pitch), jnp.asarray(yaw),
+                                jnp.asarray(fov)))
+            pix = np.asarray(out["pixels"])[0]
+            rgb = to_uint8(pix[-3:], normalize=False).transpose(1, 2, 0)
+            panels = [rgb]
+            if fcfg.n_labels:
+                panels.append(mask2color(pix[None, :-3])[0])
+                blend = (0.5 * rgb + 0.5 * panels[1]).astype(np.uint8)
+                panels.append(blend)
+            depth = depth_to_jet(np.asarray(out["depth"])[0])
+            panels.append(depth)
+            frame = np.concatenate(panels, axis=1)
+            frames.append(frame)
+            if args.save_frames:
+                save_png(os.path.join(
+                    args.output_dir,
+                    f"seed{seed}_{args.trajectory}_{args.latent_type}_{i:04d}.png",
+                ), frame)
+        mp4 = os.path.join(
+            args.output_dir,
+            f"seed{seed}_{args.trajectory}_{args.latent_type}.mp4")
+        write_mp4(mp4, frames, fps=args.fps)
+        print(f"wrote {mp4} ({len(frames)} frames)")
+
+
+if __name__ == "__main__":
+    main()

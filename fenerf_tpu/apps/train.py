@@ -1,0 +1,233 @@
+"""Adversarial training CLI.
+
+Reference: /root/reference/train_double_latent_semantic.py (call stack in
+SURVEY.md §3.1). Differences by design:
+  * one process drives all local devices (SPMD) — no mp.spawn/gloo/barriers;
+  * one compiled train step per curriculum stage (static shapes);
+  * checkpoints are self-describing .npz pytrees, not module pickles;
+  * AMP GradScaler dropped (bf16 matmuls + f32 grads need no loss scaling).
+
+Usage:
+  python -m fenerf_tpu.apps.train --curriculum CelebA_double_semantic \
+      --output_dir output/run1 --data_root data/celebahq_mask
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--curriculum", required=True)
+    p.add_argument("--output_dir", default="output/debug")
+    p.add_argument("--data_root", default=None,
+                   help="overrides the curriculum's dataset_path")
+    p.add_argument("--total_steps", type=int, default=None)
+    p.add_argument("--load_dir", default="")
+    p.add_argument("--set_step", type=int, default=None)
+    p.add_argument("--sample_interval", type=int, default=2000)
+    p.add_argument("--model_save_interval", type=int, default=5000)
+    p.add_argument("--eval_freq", type=int, default=5000)
+    p.add_argument("--num_eval_imgs", type=int, default=2048)
+    p.add_argument("--num_real_imgs", type=int, default=8000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--field_overrides", default="",
+                   help='JSON dict, e.g. {"hidden_dim": 64} (debug runs)')
+    p.add_argument("--stage_overrides", default="",
+                   help='JSON dict overriding stage meta, e.g. '
+                        '{"batch_size": 4, "img_size": 16} (debug runs)')
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fenerf_tpu.apps.common import save_generator
+    from fenerf_tpu.data.celeba_mask import iterate_batches, make_dataset
+    from fenerf_tpu.eval import fid as fidlib
+    from fenerf_tpu.models import generator as gen
+    from fenerf_tpu.nn import fields
+    from fenerf_tpu.train import loop as looplib
+    from fenerf_tpu.train import sharding
+    from fenerf_tpu.train.curriculum import get_curriculum
+    from fenerf_tpu.utils import checkpoint as ckpt
+    from fenerf_tpu.utils.image import mask2color, save_image_grid, save_png, \
+        make_grid
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    cur = get_curriculum(args.curriculum)
+    fo = tuple(sorted(json.loads(args.field_overrides).items())) \
+        if args.field_overrides else ()
+
+    so = json.loads(args.stage_overrides) if args.stage_overrides else {}
+
+    def meta_at(step):
+        m = cur.at_step(step)
+        repl = dict(so)
+        if args.data_root:
+            repl["dataset_path"] = args.data_root
+        if fo:
+            repl["field_overrides"] = fo
+        return dataclasses.replace(m, **repl) if repl else m
+
+    meta = meta_at(0)
+    mesh = sharding.data_mesh()
+    n_dev = len(mesh.devices.reshape(-1))
+    host_index, n_hosts = jax.process_index(), jax.process_count()
+
+    key = jax.random.key(args.seed)
+    state = looplib.init_train_state(jax.random.fold_in(key, 0), meta)
+    start_step = 0
+    if args.load_dir:
+        path = os.path.join(args.load_dir, "train_state.npz")
+        state = ckpt.load(path, state)
+        start_step = int(state.step)
+        print(f"resumed from {path} at step {start_step}")
+    if args.set_step is not None:
+        state = state._replace(step=jnp.asarray(args.set_step, jnp.int32))
+        start_step = args.set_step
+    state = sharding.replicate(mesh, state)
+
+    # fixed grids for visual checks (reference fixed_z, train...py:113-114)
+    fixed_zg = jax.random.normal(
+        jax.random.fold_in(key, 1), (25, meta.latent_geo_dim))
+    fixed_za = jax.random.normal(
+        jax.random.fold_in(key, 2), (25, meta.latent_app_dim))
+
+    # options dump (reference options.txt, :189-197)
+    with open(os.path.join(args.output_dir, "options.txt"), "w") as f:
+        f.write(f"{vars(args)}\n\n{meta}\n")
+    metrics_log = open(os.path.join(args.output_dir, "metrics.jsonl"), "a")
+
+    step_fn = None
+    data_iter = None
+    stage_meta = None
+    dataset = None
+    total = args.total_steps or cur.end_step
+    step = start_step
+    t_last = time.time()
+
+    def sample_grids(state, meta, step):
+        fcfg = meta.field_config()
+        ecfg = meta.eval_render_config(
+            img_size=min(128, meta.target_size), h_stddev=0.0, v_stddev=0.0,
+            sample_dist=None, ray_chunk=4096)
+        for tag, params, psi, zg, za in (
+            ("fixed", state.g_params, 1.0, fixed_zg, fixed_za),
+            ("fixed_ema", state.ema.params, 1.0, fixed_zg, fixed_za),
+            ("random_ema", state.ema.params, 0.7,
+             jax.random.normal(jax.random.fold_in(key, step), fixed_zg.shape),
+             jax.random.normal(jax.random.fold_in(key, step + 1),
+                               fixed_za.shape)),
+        ):
+            avg = fields.avg_film(params, fcfg, jax.random.key(7))
+            out = gen.render_truncated(
+                params, fcfg, ecfg, jax.random.key(0), zg, za, avg, psi=psi)
+            pix = np.asarray(out["pixels"])
+            save_image_grid(
+                os.path.join(args.output_dir, f"{step}_img_{tag}.png"),
+                pix[:, -3:])
+            if fcfg.n_labels:
+                save_png(
+                    os.path.join(args.output_dir, f"{step}_seg_{tag}.png"),
+                    make_grid(mask2color(pix[:, :-3]), nrow=5))
+
+    while step < total:
+        m = meta_at(step)
+        if stage_meta is None or m != stage_meta:
+            stage_meta = m
+            print(f"[stage] step={step} img={m.img_size} bs={m.batch_size} "
+                  f"steps/ray={m.num_steps} split={m.batch_split}")
+            assert m.batch_size % n_dev == 0 or n_dev == 1, (
+                f"batch {m.batch_size} not divisible by {n_dev} devices")
+            step_fn = sharding.jit_train_step_sharded(m, mesh)
+            dataset = make_dataset(
+                m.dataset, m.dataset_path, m.img_size,
+                background_mask=m.background_mask,
+            ) if m.dataset != "CelebA" else make_dataset(
+                m.dataset, m.dataset_path, m.img_size)
+            data_iter = iterate_batches(
+                dataset, m.batch_size, seed=args.seed + step,
+                host_index=host_index, n_hosts=n_hosts)
+
+        imgs, labels = next(data_iter)
+        imgs, labels = sharding.shard_batch(mesh, imgs, labels)
+        scal = looplib.StepScalars(
+            alpha=jnp.asarray(cur.alpha(step), jnp.float32),
+            noise_std=jnp.asarray(m.nerf_noise(step), jnp.float32),
+            topk_frac=jnp.asarray(m.topk_fraction(step), jnp.float32),
+        )
+        state, metrics = step_fn(state, imgs, labels,
+                                 jax.random.fold_in(key, 10_000 + step), scal)
+
+        if host_index == 0 and step % args.log_every == 0:
+            mvals = {k: float(v) for k, v in metrics.items()}
+            dt = time.time() - t_last
+            t_last = time.time()
+            rate = args.log_every * m.batch_size / dt if step else 0.0
+            line = {"step": step, "imgs_per_sec": round(rate, 2), **mvals}
+            print(json.dumps(line))
+            metrics_log.write(json.dumps(line) + "\n")
+            metrics_log.flush()
+
+        step += 1
+
+        if host_index == 0 and step % args.model_save_interval == 0:
+            ckpt.save(os.path.join(args.output_dir, "train_state.npz"), state)
+            save_generator(
+                os.path.join(args.output_dir, "generator.npz"),
+                state.g_params, state.ema.params, state.ema2.params,
+                m.model, step,
+                field_kwargs={"z_geo_dim": m.latent_geo_dim,
+                              "z_app_dim": m.latent_app_dim,
+                              "n_labels": m.output_dim - 4, **dict(fo)},
+            )
+        if host_index == 0 and step % args.sample_interval == 0:
+            sample_grids(jax.device_get(state), m, step)
+
+        if args.eval_freq > 0 and step % args.eval_freq == 0:
+            real_dir = os.path.join(args.output_dir, "evaluation/real")
+            gen_dir = os.path.join(args.output_dir, "evaluation/generated")
+            if host_index == 0:
+                fidlib.setup_evaluation(dataset, real_dir,
+                                        target_size=m.target_size,
+                                        num_real=args.num_real_imgs)
+            fcfg = m.field_config()
+            ecfg = m.eval_render_config(
+                img_size=min(128, m.target_size), ray_chunk=4096)
+            ema_params = jax.device_get(state.ema.params)
+            avg = fields.avg_film(ema_params, fcfg, jax.random.key(7))
+
+            def render_batch(k, n):
+                kg, ka = jax.random.split(k)
+                zg = jax.random.normal(kg, (n, m.latent_geo_dim))
+                za = jax.random.normal(ka, (n, m.latent_app_dim))
+                out = gen.render_truncated(
+                    ema_params, fcfg, ecfg, k, zg, za, avg, psi=1.0)
+                return out["pixels"][:, -3:]
+
+            fidlib.output_images(render_batch, gen_dir,
+                                 num_eval=args.num_eval_imgs,
+                                 host_index=host_index, n_hosts=n_hosts)
+            if host_index == 0:
+                try:
+                    fid = fidlib.calculate_fid(real_dir, gen_dir)
+                    with open(os.path.join(args.output_dir, "fid.txt"),
+                              "a") as f:
+                        f.write(f"\n{step}:{fid}")
+                    print(f"[fid] step={step} fid={fid:.3f}")
+                except (FileNotFoundError, NotImplementedError) as e:
+                    print(f"[fid] skipped: {e}")
+
+    if host_index == 0:
+        ckpt.save(os.path.join(args.output_dir, "train_state.npz"), state)
+        print("training complete")
+
+
+if __name__ == "__main__":
+    main()

@@ -28,19 +28,21 @@ def normalize_vecs(v: jax.Array, eps: float = 1e-12) -> jax.Array:
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
 
 
-def pixel_ray_dirs(img_size: int, fov_degrees: float) -> jax.Array:
+def pixel_ray_dirs(img_size: int, fov_degrees) -> jax.Array:
     """Unit ray directions in camera space for a square image.
 
     Matches reference get_initial_rays_trig pixel grid: for pixel (row a, col b)
     x = -1 + 2b/(W-1) (left->right), y = 1 - 2a/(H-1) (top->bottom),
     z = -1/tan(fov/2). Returns (img_size*img_size, 3), row-major.
+    fov may be a traced scalar (dynamic zoom trajectories).
     """
     w = h = img_size
     x = jnp.linspace(-1.0, 1.0, w)
     y = jnp.linspace(1.0, -1.0, h)
     xx = jnp.broadcast_to(x[None, :], (h, w)).reshape(-1)
     yy = jnp.broadcast_to(y[:, None], (h, w)).reshape(-1)
-    zz = jnp.full_like(xx, -1.0 / math.tan(math.radians(fov_degrees) / 2.0))
+    fov = jnp.asarray(fov_degrees, jnp.float32)
+    zz = jnp.broadcast_to(-1.0 / jnp.tan(jnp.deg2rad(fov) / 2.0), xx.shape)
     return normalize_vecs(jnp.stack([xx, yy, zz], axis=-1))
 
 

@@ -1,0 +1,168 @@
+"""Image(+mask) datasets and the host-sharded input pipeline.
+
+Reference behavior (/root/reference/datasets.py):
+  * CelebAMaskHQ_wo_background_seg_18 (:465-549): paired jpg/png under
+    <root>/celebahq_mask_img, <root>/celebahq_mask_mask; image Resize(320) ->
+    CenterCrop(256) -> normalize [-1,1] -> Resize(img_size); mask NEAREST
+    through the same geometry; background pixels zeroed when background_mask;
+    paired random hflip; mask -> 18 one-hot channels scaled to [-1,1].
+  * CelebA (:20-41): jpg glob, Resize(320)/CenterCrop(256)/Resize, hflip.
+  * get_dataset_distributed (:96-114): DistributedSampler -> here per-host
+    example sharding (jax.process_index) + an explicit epoch key.
+
+The loader is a plain Python prefetch iterator (PIL + numpy): the models are
+compute-bound on TPU at these image sizes, so a thread of decode-ahead is
+enough; swap in grain/tf.data for multi-host production runs.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+from PIL import Image
+
+
+def _prep(pil: Image.Image, img_size: int, nearest: bool) -> Image.Image:
+    resample = Image.NEAREST if nearest else Image.BILINEAR
+    w, h = pil.size
+    # torchvision Resize(320): scale the SHORT side to 320
+    scale = 320 / min(w, h)
+    pil = pil.resize((round(w * scale), round(h * scale)), resample)
+    w, h = pil.size
+    left, top = (w - 256) // 2, (h - 256) // 2
+    pil = pil.crop((left, top, left + 256, top + 256))
+    return pil.resize((img_size, img_size), resample)
+
+
+def one_hot_labels(mask: np.ndarray, n: int = 18) -> np.ndarray:
+    """mask (H, W) int -> (n, H, W) one-hot of labels 1..n (background
+    dropped), matching _mask_labels (datasets.py:518-523)."""
+    out = np.zeros((n,) + mask.shape, dtype=np.float32)
+    for i in range(n):
+        out[i][mask == i + 1] = 1.0
+    return out
+
+
+class CelebAMaskDataset:
+    """Paired image+18ch-mask dataset (joint RGB+semantic training)."""
+
+    def __init__(self, dataset_path: str, img_size: int,
+                 background_mask: bool = True, seg_channels: int = 18,
+                 img_glob: str = "celebahq_mask_img/*.jpg",
+                 mask_glob: str = "celebahq_mask_mask/*.png"):
+        self.images = sorted(glob.glob(os.path.join(dataset_path, img_glob)))
+        self.masks = sorted(glob.glob(os.path.join(dataset_path, mask_glob)))
+        assert len(self.images) == len(self.masks), (
+            f"{len(self.images)} images vs {len(self.masks)} masks")
+        assert self.images, f"no data under {dataset_path}"
+        self.img_size = img_size
+        self.background_mask = background_mask
+        self.seg_channels = seg_channels
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, index: int, flip: bool = False):
+        img = Image.open(self.images[index]).convert("RGB")
+        mask = Image.open(self.masks[index]).convert("L")
+        if self.background_mask:
+            m = np.asarray(
+                mask.resize(img.size, resample=Image.NEAREST))
+            arr = np.asarray(img).copy()
+            arr[m == 0] = 0
+            img = Image.fromarray(arr)
+        img = _prep(img, self.img_size, nearest=False)
+        mask = _prep(mask, self.img_size, nearest=True)
+        x = np.asarray(img, dtype=np.float32) / 255.0
+        x = (x.transpose(2, 0, 1) - 0.5) / 0.5
+        m = np.asarray(mask)
+        if flip:
+            x = x[:, :, ::-1].copy()
+            m = m[:, ::-1].copy()
+        labels = one_hot_labels(m, self.seg_channels) * 2.0 - 1.0
+        return x, labels
+
+
+class CelebADataset:
+    """RGB-only dataset for the single-latent pi-GAN curriculum
+    (datasets.py:20-41)."""
+
+    def __init__(self, dataset_path: str, img_size: int, **_):
+        self.images = sorted(glob.glob(dataset_path))
+        assert self.images, f"no data under {dataset_path}"
+        self.img_size = img_size
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, index: int, flip: bool = False):
+        img = _prep(Image.open(self.images[index]).convert("RGB"),
+                    self.img_size, nearest=False)
+        x = np.asarray(img, dtype=np.float32) / 255.0
+        x = (x.transpose(2, 0, 1) - 0.5) / 0.5
+        if flip:
+            x = x[:, :, ::-1].copy()
+        return x, np.zeros((0, self.img_size, self.img_size), np.float32)
+
+
+DATASETS = {
+    "CelebAMaskHQ_wo_background_seg_18": CelebAMaskDataset,
+    "CelebA": CelebADataset,
+}
+
+
+def make_dataset(name: str, dataset_path: str, img_size: int, **kw):
+    return DATASETS[name](dataset_path=dataset_path, img_size=img_size, **kw)
+
+
+def iterate_batches(
+    dataset,
+    batch_size: int,
+    seed: int = 0,
+    host_index: int = 0,
+    n_hosts: int = 1,
+    prefetch: int = 4,
+    epochs: int | None = None,
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Shuffled, host-sharded, flip-augmented batches of (imgs, labels).
+
+    Per-host sharding replaces the reference's DistributedSampler
+    (datasets.py:99-103); the flip coin is drawn per example per epoch.
+    """
+    n = len(dataset)
+    rng = np.random.RandomState(seed + 7919 * host_index)
+    out_q: queue.Queue = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def worker():
+        epoch = 0
+        while not stop.is_set() and (epochs is None or epoch < epochs):
+            order = np.random.RandomState(seed + epoch).permutation(n)
+            order = order[host_index::n_hosts]
+            flips = rng.rand(len(order)) > 0.5
+            for s in range(0, len(order) - batch_size + 1, batch_size):
+                idx = order[s:s + batch_size]
+                items = [dataset.__getitem__(int(i), flip=bool(f))
+                         for i, f in zip(idx, flips[s:s + batch_size])]
+                imgs = np.stack([it[0] for it in items])
+                labels = np.stack([it[1] for it in items])
+                if stop.is_set():
+                    return
+                out_q.put((imgs, labels))
+            epoch += 1
+        out_q.put(None)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = out_q.get()
+            if item is None:
+                return
+            yield item
+    finally:
+        stop.set()

@@ -120,8 +120,13 @@ def render(
     film_app: Film,
     batch_size: int,
     noise_std: float | jax.Array = 0.0,
+    camera: tuple | None = None,
 ) -> dict[str, jax.Array]:
     """Render a batch of images from W-space film activations.
+
+    camera: optional (pitch, yaw, fov) traced scalars overriding the rcfg
+    camera distribution with a deterministic pose — video trajectories render
+    every frame through ONE compiled program instead of recompiling per pose.
 
     Returns dict with:
       pixels   (B, C, H, W) in [-1, 1]; C = n_labels(+1 bg if fill pads) + 3
@@ -131,12 +136,23 @@ def render(
     """
     k_rays, k_coarse_noise, k_pdf, k_fine_noise = jax.random.split(key, 4)
 
-    dirs_cam = raylib.pixel_ray_dirs(rcfg.img_size, rcfg.fov)
+    if camera is not None:
+        pitch, yaw, fov = camera
+        h_mean, v_mean = yaw, pitch
+        h_stddev = v_stddev = 0.0
+        sample_dist = None
+    else:
+        fov = rcfg.fov
+        h_mean, v_mean = rcfg.h_mean, rcfg.v_mean
+        h_stddev, v_stddev = rcfg.h_stddev, rcfg.v_stddev
+        sample_dist = rcfg.sample_dist
+
+    dirs_cam = raylib.pixel_ray_dirs(rcfg.img_size, fov)
     z0 = raylib.initial_z_vals(rcfg.num_steps, rcfg.ray_start, rcfg.ray_end)
     tr = raylib.transform_rays(
         k_rays, batch_size, dirs_cam, z0,
-        rcfg.h_stddev, rcfg.v_stddev, rcfg.h_mean, rcfg.v_mean,
-        mode=rcfg.sample_dist, perturb=rcfg.perturb,
+        h_stddev, v_stddev, h_mean, v_mean,
+        mode=sample_dist, perturb=rcfg.perturb,
     )
 
     coarse_out = _eval_field_chunked(

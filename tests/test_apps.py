@@ -1,0 +1,149 @@
+"""End-to-end smoke tests of the CLI apps on tiny configs (CPU)."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from fenerf_tpu.apps.common import (camera_trajectory, interpolate_films,
+                                    load_generator, save_generator)
+from fenerf_tpu.nn import fields
+
+TINY_KW = dict(z_geo_dim=8, z_app_dim=8, hidden_dim=16, map_hidden_dim=16)
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ckpt") / "generator.npz")
+    fcfg = fields.get_config("SIRENBASELINESEMANTICDISENTANGLE", **TINY_KW)
+    params = fields.init_field(jax.random.key(0), fcfg)
+    ema = jax.tree.map(lambda x: x * 0.5, params)
+    save_generator(path, params, ema, params,
+                   "SIRENBASELINESEMANTICDISENTANGLE", step=123,
+                   field_kwargs=TINY_KW)
+    return path
+
+
+class TestCommon:
+    def test_generator_ckpt_roundtrip(self, tiny_ckpt):
+        params, ema, ema2, fcfg, config = load_generator(tiny_ckpt)
+        assert config["step"] == 123
+        assert fcfg.hidden_dim == 16
+        a = jax.tree_util.tree_leaves(params)[0]
+        b = jax.tree_util.tree_leaves(ema)[0]
+        np.testing.assert_allclose(np.asarray(a) * 0.5, np.asarray(b),
+                                   atol=1e-7)
+
+    def test_trajectories(self):
+        for name in ("front", "orbit", "rotation_horizontal", "non_rotation",
+                     "sphere", "inverse_sphere", "zoom", "rotation_linear"):
+            traj = camera_trajectory(name, 7, 12.0)
+            assert len(traj) == 7
+            for t, pitch, yaw, fov in traj:
+                assert 0 < pitch < np.pi and np.isfinite(yaw)
+                assert 5 < fov < 25
+
+    def test_interpolate_films(self):
+        import jax.numpy as jnp
+        f1 = (jnp.zeros(4), jnp.zeros(4))
+        f2 = (jnp.ones(4), jnp.ones(4))
+        g = interpolate_films(f1, f2, 0.5, "geo", "geo")
+        np.testing.assert_allclose(g[0], 0.5)
+        a_non = interpolate_films(f1, f2, 0.5, "geo", "app")
+        np.testing.assert_allclose(a_non[0], 0.0)  # app held for 'geo'
+        # 'app' remaps t: t=0.75 -> 0.5
+        a = interpolate_films(f1, f2, 0.75, "app", "app")
+        np.testing.assert_allclose(a[0], 0.5)
+
+
+class TestRenderMultiview:
+    def test_writes_grids(self, tiny_ckpt, tmp_path):
+        from fenerf_tpu.apps.render_multiview import main
+        out = str(tmp_path / "imgs")
+        main(["--ckpt", tiny_ckpt, "--seeds", "0", "--output_dir", out,
+              "--image_size", "16", "--num_steps", "4",
+              "--ray_step_multiplier", "2", "--ray_chunk", "0"])
+        assert os.path.exists(os.path.join(out, "img_0.png"))
+        assert os.path.exists(os.path.join(out, "seg_0.png"))
+        img = np.asarray(Image.open(os.path.join(out, "img_0.png")))
+        assert img.shape[1] > 16 * 5  # 5 views side by side
+
+
+class TestExtractShapes:
+    def test_writes_mrc(self, tiny_ckpt, tmp_path):
+        from fenerf_tpu.apps.extract_shapes import main
+        from fenerf_tpu.utils.mrc import read_mrc
+        out = str(tmp_path / "shapes")
+        main(["--ckpt", tiny_ckpt, "--seeds", "0", "--output_dir", out,
+              "--voxel_resolution", "16", "--chunk", "1024"])
+        path = os.path.join(out, "shape_seed0.mrc")
+        vol = read_mrc(path)
+        assert vol.shape == (16, 16, 16)
+        assert np.isfinite(vol).all()
+
+
+class TestRenderVideo:
+    def test_writes_mp4(self, tiny_ckpt, tmp_path):
+        from fenerf_tpu.apps.render_video import main
+        out = str(tmp_path / "videos")
+        main(["--ckpt", tiny_ckpt, "--seeds", "0", "--output_dir", out,
+              "--image_size", "16", "--num_steps", "4", "--num_frames", "3",
+              "--trajectory", "front", "--latent_type", "both",
+              "--ray_chunk", "0"])
+        assert os.path.exists(
+            os.path.join(out, "seed0_front_both.mp4"))
+
+
+class TestInvert:
+    def test_inversion_improves_loss(self, tiny_ckpt, tmp_path):
+        from fenerf_tpu.apps.invert import main
+        rng = np.random.RandomState(0)
+        img_p = str(tmp_path / "gt.jpg")
+        seg_p = str(tmp_path / "gt.png")
+        Image.fromarray(
+            (rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(img_p)
+        Image.fromarray(
+            rng.randint(0, 19, (64, 64)).astype(np.uint8), mode="L"
+        ).save(seg_p)
+        out = main(["test", "--ckpt", tiny_ckpt, "--image_path", img_p,
+                    "--seg_path", seg_p, "--save_dir", str(tmp_path / "inv"),
+                    "--image_size", "16", "--iterations", "3",
+                    "--lambda_seg", "1", "--lambda_img", "1",
+                    "--num_steps", "4", "--eval_every", "2"])
+        data = np.load(out)
+        assert "freq_geo" in data and "offset_freq_app" in data
+        assert os.path.exists(str(tmp_path / "inv" / "mious.npy"))
+
+
+class TestTrainCli:
+    def test_three_steps_synthetic(self, tmp_path):
+        from fenerf_tpu.apps.train import main
+        root = tmp_path / "data"
+        (root / "celebahq_mask_img").mkdir(parents=True)
+        (root / "celebahq_mask_mask").mkdir()
+        rng = np.random.RandomState(0)
+        for i in range(8):
+            Image.fromarray((rng.rand(512, 512, 3) * 255).astype(np.uint8)
+                            ).save(root / "celebahq_mask_img" / f"{i}.jpg")
+            Image.fromarray(rng.randint(0, 19, (512, 512)).astype(np.uint8),
+                            mode="L").save(
+                root / "celebahq_mask_mask" / f"{i}.png")
+        out = str(tmp_path / "run")
+        main(["--curriculum", "CelebA_double_semantic",
+              "--output_dir", out, "--data_root", str(root),
+              "--total_steps", "3", "--eval_freq", "0",
+              "--sample_interval", "1000", "--model_save_interval", "2",
+              "--log_every", "1",
+              "--field_overrides",
+              json.dumps({"hidden_dim": 16, "map_hidden_dim": 16}),
+              "--stage_overrides",
+              json.dumps({"batch_size": 8, "batch_split": 1, "img_size": 8,
+                          "num_steps": 2, "latent_geo_dim": 8,
+                          "latent_app_dim": 8})])
+        assert os.path.exists(os.path.join(out, "train_state.npz"))
+        assert os.path.exists(os.path.join(out, "generator.npz"))
+        lines = open(os.path.join(out, "metrics.jsonl")).read().strip()
+        assert '"g_loss"' in lines

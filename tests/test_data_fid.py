@@ -1,0 +1,117 @@
+"""Data pipeline + FID protocol tests (synthetic dataset fixtures)."""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fenerf_tpu.data.celeba_mask import (CelebAMaskDataset, iterate_batches,
+                                         make_dataset, one_hot_labels)
+from fenerf_tpu.eval import fid as fidlib
+
+
+@pytest.fixture(scope="module")
+def mask_dataset_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("celeba")
+    (root / "celebahq_mask_img").mkdir()
+    (root / "celebahq_mask_mask").mkdir()
+    rng = np.random.RandomState(0)
+    yy, xx = np.mgrid[0:512, 0:512]
+    for i in range(6):
+        img = np.full((512, 512, 3), 200, np.uint8)
+        img += (rng.rand(512, 512, 3) * 40).astype(np.uint8)
+        Image.fromarray(img).save(root / "celebahq_mask_img" / f"{i}.jpg")
+        # spatially coherent mask: left half background, right half stripes
+        mask = np.where(xx < 256, 0, (yy // 32) % 18 + 1).astype(np.uint8)
+        Image.fromarray(mask, mode="L").save(
+            root / "celebahq_mask_mask" / f"{i}.png")
+    return str(root)
+
+
+class TestDataset:
+    def test_shapes_and_ranges(self, mask_dataset_root):
+        ds = CelebAMaskDataset(mask_dataset_root, img_size=32)
+        assert len(ds) == 6
+        img, labels = ds[0]
+        assert img.shape == (3, 32, 32)
+        assert labels.shape == (18, 32, 32)
+        assert img.min() >= -1.0 and img.max() <= 1.0
+        assert set(np.unique(labels)) <= {-1.0, 1.0}
+
+    def test_background_masking(self, mask_dataset_root):
+        ds = CelebAMaskDataset(mask_dataset_root, img_size=32,
+                               background_mask=True)
+        img, labels = ds[0]
+        # pixels whose 18ch labels are all -1 (background) should be dark
+        bg = np.all(labels == -1.0, axis=0)
+        if bg.any():
+            assert float(img[:, bg].mean()) < -0.5
+
+    def test_one_hot_labels(self):
+        mask = np.array([[0, 1], [18, 5]])
+        oh = one_hot_labels(mask, 18)
+        assert oh[0, 0, 1] == 1.0      # label 1 -> channel 0
+        assert oh[17, 1, 0] == 1.0     # label 18 -> channel 17
+        assert oh[:, 0, 0].sum() == 0  # background unmapped
+
+    def test_iterate_batches_sharded(self, mask_dataset_root):
+        ds = CelebAMaskDataset(mask_dataset_root, img_size=16)
+        batches = []
+        it = iterate_batches(ds, batch_size=2, epochs=1, host_index=0,
+                             n_hosts=2)
+        for imgs, labels in it:
+            assert imgs.shape == (2, 3, 16, 16)
+            batches.append(imgs)
+        assert len(batches) == 1  # 6 examples / 2 hosts / bs 2 -> 1 full batch
+
+    def test_flip_changes_image(self, mask_dataset_root):
+        ds = CelebAMaskDataset(mask_dataset_root, img_size=32)
+        a, _ = ds.__getitem__(0, flip=False)
+        b, _ = ds.__getitem__(0, flip=True)
+        np.testing.assert_allclose(a[:, :, ::-1], b, atol=1e-6)
+
+    def test_registry(self, mask_dataset_root):
+        ds = make_dataset("CelebAMaskHQ_wo_background_seg_18",
+                          mask_dataset_root, 16)
+        assert len(ds) == 6
+
+
+class TestFid:
+    def test_frechet_identity_zero(self):
+        f = np.random.RandomState(0).randn(500, 8)
+        assert abs(fidlib.fid_from_features(f, f.copy())) < 1e-6
+
+    def test_frechet_separates(self):
+        rng = np.random.RandomState(0)
+        a = rng.randn(500, 8)
+        b = rng.randn(500, 8) + 3.0
+        near = fidlib.fid_from_features(a, rng.randn(500, 8))
+        far = fidlib.fid_from_features(a, b)
+        assert far > near
+        assert far > 8 * 0.9  # ~ ||mu_diff||^2 = 8*9 ... at least large
+
+    def test_protocol_end_to_end(self, mask_dataset_root, tmp_path):
+        ds = CelebAMaskDataset(mask_dataset_root, img_size=32)
+        real_dir = str(tmp_path / "real")
+        gen_dir = str(tmp_path / "gen")
+        fidlib.setup_evaluation(ds, real_dir, target_size=32, num_real=4)
+        assert len(os.listdir(real_dir)) == 4
+
+        def render_fn(key, n):
+            return np.zeros((n, 3, 32, 32), np.float32)
+
+        fidlib.output_images(render_fn, gen_dir, num_eval=4, batch_size=2)
+        assert len(os.listdir(gen_dir)) == 4
+
+        def stub_features(imgs):
+            return imgs.reshape(imgs.shape[0], -1)[:, :16]
+
+        fid = fidlib.calculate_fid(real_dir, gen_dir,
+                                   feature_fn=stub_features)
+        assert np.isfinite(fid) and fid > 0
+
+    def test_inception_gated(self):
+        with pytest.raises(FileNotFoundError):
+            fidlib.inception_features(path=None) if not os.environ.get(
+                fidlib.WEIGHTS_ENV) else (_ for _ in ()).throw(
+                FileNotFoundError("env set"))
