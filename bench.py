@@ -61,21 +61,25 @@ def bench_tpu() -> float:
 
     @jax.jit
     def render(params, key, film_g, film_a):
+        # reduce to a scalar so timing can force real execution with a tiny
+        # readback (the tunneled runtime elides dispatches whose outputs are
+        # dropped, and block_until_ready does not reliably wait)
         return gen.render(params, fcfg, rcfg, key, film_g, film_a,
-                          batch_size=BATCH, noise_std=0.0)["pixels"]
+                          batch_size=BATCH, noise_std=0.0)["pixels"].sum()
 
     key = jax.random.key(3)
     t0 = time.perf_counter()
-    render(params, key, film_g, film_a).block_until_ready()
+    float(render(params, key, film_g, film_a))
     log(f"first call (compile+run): {time.perf_counter() - t0:.1f}s")
     for _ in range(WARMUP - 1):
-        render(params, key, film_g, film_a).block_until_ready()
+        float(render(params, key, film_g, film_a))
 
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        out = render(params, jax.random.fold_in(key, i), film_g, film_a)
-    out.block_until_ready()
+    outs = [render(params, jax.random.fold_in(key, i), film_g, film_a)
+            for i in range(ITERS)]
+    checks = [float(o) for o in outs]  # forces execution of every render
     dt = time.perf_counter() - t0
+    assert all(c == c for c in checks), "NaN render output"
     rays_per_sec = BATCH * RAYS_PER_IMG * ITERS / dt
     log(f"tpu: {ITERS} renders of {BATCH}x{IMG}x{IMG} in {dt:.3f}s "
         f"-> {rays_per_sec:,.0f} rays/s ({rays_per_sec * 2 * STEPS:,.0f} pts/s)")

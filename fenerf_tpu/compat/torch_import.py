@@ -96,6 +96,68 @@ def field_from_torch(sd: Mapping[str, Any], cfg: FieldConfig) -> dict:
 
 
 # ------------------------------------------------------------------
+# StyleGAN latent-grid import (StyleGenerator2D / SPATIALSIRENGRID)
+# ------------------------------------------------------------------
+
+def _mod_conv(sd: Mapping[str, Any], prefix: str) -> dict:
+    """ModulatedConv2d (siren/layers.py:500-583): weight (1,out,in,kh,kw) ->
+    (kh,kw,in,out); activate bias lives on .activate.bias, plain bias on
+    .bias (1,out,1,1)."""
+    w = _np(sd[f"{prefix}.weight"])[0]  # (out, in, kh, kw)
+    p = {"w": jnp.asarray(w.transpose(2, 3, 1, 0)),
+         "mod": _lin(sd, f"{prefix}.modulation")}
+    if f"{prefix}.activate.bias" in sd:
+        p["b"] = jnp.asarray(_np(sd[f"{prefix}.activate.bias"]))
+    elif f"{prefix}.bias" in sd:
+        p["b"] = jnp.asarray(_np(sd[f"{prefix}.bias"]).reshape(-1))
+    else:
+        p["b"] = jnp.zeros((w.shape[0],), jnp.float32)
+    return p
+
+
+def style_generator_from_torch(sd: Mapping[str, Any],
+                               skip_conn: bool = False) -> dict:
+    """StyleGenerator2D (siren/latent_grid.py:9-95) -> stylegan params."""
+    params: dict[str, Any] = {
+        "mapping": [_lin(sd, f"mapping_network.{i}") for i in range(3)],
+        "input": jnp.asarray(_np(sd["input.input"])[0]),
+        "conv1": _mod_conv(sd, "conv1"),
+    }
+    convs = []
+    i = 0
+    while f"convs.{i}.weight" in sd:
+        convs.append(_mod_conv(sd, f"convs.{i}"))
+        i += 1
+    params["convs"] = convs
+    if skip_conn:
+        params["to_rgb1"] = _mod_conv(sd, "to_rgb1.conv")
+        params["to_rgbs"] = []
+        j = 0
+        while f"to_rgbs.{j}.conv.weight" in sd:
+            params["to_rgbs"].append(_mod_conv(sd, f"to_rgbs.{j}.conv"))
+            j += 1
+    else:
+        params["out_rgb"] = _mod_conv(sd, "out_rgb.conv")
+    return params
+
+
+def grid_field_from_torch(sd: Mapping[str, Any], trunk_layers: int = 8) -> dict:
+    """SPATIALSIRENGRID (siren/siren.py:413-518) -> latent_grid_field params."""
+    if any(k.startswith("siren.") for k in sd):
+        sd = strip_prefix(sd, "siren.")
+    return {
+        "style_gen": style_generator_from_torch(
+            strip_prefix(sd, "grid_latent_network.")),
+        "map": [_lin(sd, f"mapping_network.network.{2 * j}")
+                for j in range(3)],
+        "trunk": [_lin(sd, f"network.{i}.layer") for i in range(trunk_layers)],
+        "sigma_head": _lin(sd, "final_layer"),
+        "color": [_lin(sd, "color_layer_sine.layer")],
+        "color_head": _lin(sd, "color_layer_linear.0"),
+    }
+
+
+# ------------------------------------------------------------------
 # Discriminator import (CCSDoubleEncoderDiscriminator and kin)
 # ------------------------------------------------------------------
 

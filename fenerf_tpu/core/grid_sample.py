@@ -58,3 +58,44 @@ def grid_sample_3d(grid: jax.Array, coords: jax.Array) -> jax.Array:
                 out = out + vals * weight[None, :]
 
     return out.T.reshape(*batch_shape, c)
+
+
+def grid_sample_2d(grid: jax.Array, coords: jax.Array,
+                   align_corners: bool = False) -> jax.Array:
+    """Sample `grid` (C, H, W) at `coords` (..., 2) = (x, y) in [-1, 1].
+
+    align_corners=False (torch default) as used by the latent-grid models'
+    sample_local_latents (/root/reference/siren/siren.py:479-499):
+    index = ((c + 1) * size - 1) / 2; zeros padding outside. Returns (..., C).
+    """
+    c, h, w = grid.shape
+    batch_shape = coords.shape[:-1]
+    xy = coords.reshape(-1, 2)
+
+    sizes = jnp.array([w, h], dtype=coords.dtype)
+    if align_corners:
+        idx = (xy + 1.0) / 2.0 * (sizes - 1.0)
+    else:
+        idx = ((xy + 1.0) * sizes - 1.0) / 2.0
+
+    i0 = jnp.floor(idx)
+    frac = idx - i0
+    i0 = i0.astype(jnp.int32)
+    i1 = i0 + 1
+
+    valid0 = [(i0[:, a] >= 0) & (i0[:, a] < s) for a, s in enumerate((w, h))]
+    valid1 = [(i1[:, a] >= 0) & (i1[:, a] < s) for a, s in enumerate((w, h))]
+    c0 = [jnp.clip(i0[:, a], 0, s - 1) for a, s in enumerate((w, h))]
+    c1 = [jnp.clip(i1[:, a], 0, s - 1) for a, s in enumerate((w, h))]
+
+    flat = grid.reshape(c, -1)
+    out = 0.0
+    for by, (yi, yv) in enumerate(((c0[1], valid0[1]), (c1[1], valid1[1]))):
+        wy = (1.0 - frac[:, 1]) if by == 0 else frac[:, 1]
+        for bx, (xi, xv) in enumerate(((c0[0], valid0[0]), (c1[0], valid1[0]))):
+            wx = (1.0 - frac[:, 0]) if bx == 0 else frac[:, 0]
+            lin = yi * w + xi
+            vals = jnp.take(flat, lin, axis=1)
+            weight = wy * wx * (yv & xv).astype(coords.dtype)
+            out = out + vals * weight[None, :]
+    return out.T.reshape(*batch_shape, c)

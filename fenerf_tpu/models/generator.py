@@ -67,6 +67,7 @@ class RenderConfig:
     perturb: bool = True
     ray_chunk: int = 0        # 0 => whole image in one field eval
     compute_dtype: str = "float32"   # 'bfloat16' for the MXU fast path
+    backend: str = "xla"      # 'pallas' => fused point-MLP kernel (inference)
 
     @property
     def n_rays(self) -> int:
@@ -92,6 +93,7 @@ def _eval_field_chunked(params, fcfg, rcfg, points, dirs, film_geo, film_app):
             drs.reshape(b, rb * s, 3),
             film_geo, film_app,
             compute_dtype=compute_dtype,
+            backend=rcfg.backend,
         )
         return out.reshape(b, rb, s, fcfg.output_dim)
 

@@ -163,12 +163,13 @@ def get_config(name: str, **overrides) -> FieldConfig:
 # Init
 # ---------------------------------------------------------------------------
 
-def _init_mapping(key, z_dim, hidden, out_dim, dtype) -> list[Params]:
-    """CustomMappingNetwork (siren.py:82-102): 5 linears, kaiming-leaky,
-    last weight x0.25."""
-    keys = jax.random.split(key, 5)
-    dims = [(z_dim, hidden), (hidden, hidden), (hidden, hidden),
-            (hidden, hidden), (hidden, out_dim)]
+def _init_mapping(key, z_dim, hidden, out_dim, dtype, n_blocks=3) -> list[Params]:
+    """CustomMappingNetwork (siren.py:82-102): 2+n_blocks linears with
+    LeakyReLU(0.2) between, kaiming-leaky init, last weight x0.25."""
+    n = n_blocks + 2
+    keys = jax.random.split(key, n)
+    dims = [(z_dim, hidden)] + [(hidden, hidden)] * n_blocks \
+        + [(hidden, out_dim)]
     layers = [
         winit.linear(k, i, o, winit.kaiming_leaky_weight, dtype=dtype)
         for k, (i, o) in zip(keys, dims)
@@ -302,13 +303,27 @@ def apply_field(
     film_geo: tuple[jax.Array, jax.Array],  # raw (freqs, phases), (B, Lg*H)
     film_app: tuple[jax.Array, jax.Array],
     compute_dtype=jnp.float32,
+    backend: str = "xla",
 ) -> jax.Array:
     """Evaluate the field at points -> (B, N, n_labels + rgb + 1).
 
     Reference semantics: forward_with_frequencies_phase_shifts of
     SIRENBASELINESEMANTICDISENTANGLE (siren.py:1211-1229) and
     TextureEmbeddingPiGAN* (siren.py:1509-1530), generalized.
+
+    backend='pallas' routes the whole MLP through the fused TPU kernel
+    (ops/film_mlp.py) — forward-only, inference paths.
     """
+    if backend == "pallas":
+        from fenerf_tpu.ops import film_mlp as film_mlp_ops
+
+        warped = points * (2.0 / cfg.box_side) if cfg.box_side else points
+        gf = None
+        if cfg.grid_channels and cfg.grid_to == "color":
+            gf = grid_sample_3d(params["grid"], warped)
+        return film_mlp_ops.film_mlp(
+            params, cfg, warped, ray_dirs, gf, film_geo, film_app)
+
     h = cfg.hidden_dim
     fg, pg = film_geo
     fa, pa = film_app

@@ -1,0 +1,198 @@
+"""Fused FiLM-SIREN point-evaluation kernel (Pallas, TPU).
+
+This is the TPU-native replacement for the reference's custom CUDA layer
+(siren/op/*.cu fuse bias+activation; here we fuse the ENTIRE field network):
+one kernel evaluates trunk (8 FiLM layers) + sigma/label heads + color branch
+(3 FiLM layers) + rgb head for a tile of points, keeping every intermediate
+activation in VMEM. The XLA path writes each (N, H) activation to HBM between
+matmuls (~12 round trips per point); here HBM traffic is points in + channels
+out + weights once.
+
+Layout:
+  * point arrays flattened to (B*N, C); the grid walks row tiles; FiLM
+    freq/phase blocks are indexed by tile -> batch element (N % tile == 0).
+  * weights packed bf16 (MXU-native); biases/film/activations f32 (sin of
+    O(30) arguments needs f32 on the VPU).
+  * the color-branch concat [ray_dir | grid_feats | x] is realized as
+    row-split matmuls (W rows [0:3], [3:3+G], [3+G:]) — no concat in VMEM.
+
+Forward-only: training uses the XLA path (autodiff); inference/eval/bench
+route here (fields.apply_field(..., backend='pallas') via RenderConfig).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fenerf_tpu.nn.fields import FieldConfig
+
+DEFAULT_TILE = 1024
+
+
+def supported(cfg: FieldConfig) -> bool:
+    """Which variants the kernel covers (others fall back to XLA)."""
+    return (
+        cfg.use_ray_dir
+        and not (cfg.grid_channels and cfg.grid_to == "trunk")
+        and not cfg.single_latent
+    )
+
+
+def _pack(params: Any, cfg: FieldConfig) -> list[jax.Array]:
+    """Kernel operand order: trunk (w,b)*Lg, color (w,b)*Lc, sigma head,
+    label head linears, color head. Weights bf16, biases f32."""
+    ops = []
+    layers = list(params["trunk"]) + list(params["color"])
+    layers.append(params["sigma_head"])
+    if cfg.n_labels:
+        layers += list(params["label_head"])
+    layers.append(params["color_head"])
+    for lyr in layers:
+        ops += [lyr["w"].astype(jnp.bfloat16), lyr["b"].astype(jnp.float32)]
+    return ops
+
+
+def film_mlp(
+    params: Any,
+    cfg: FieldConfig,
+    points: jax.Array,      # (B, N, 3) already box-warped (caller samples
+                            # the texture grid at the same coords)
+    ray_dirs: jax.Array,    # (B, N, 3)
+    grid_feats: jax.Array | None,   # (B, N, G) pre-sampled texture features
+    film_geo: tuple[jax.Array, jax.Array],  # raw (B, Lg*H)
+    film_app: tuple[jax.Array, jax.Array],
+    tile: int = DEFAULT_TILE,
+) -> jax.Array:
+    """Fused field evaluation -> (B, N, output_dim); numerics match
+    fields.apply_field (same freq transform, heads, activations)."""
+    b, n, _ = points.shape
+    h = cfg.hidden_dim
+    lg, lc = cfg.trunk_layers, cfg.color_layers
+    g = cfg.grid_channels if (cfg.grid_channels and cfg.grid_to == "color") else 0
+    assert supported(cfg), f"unsupported variant {cfg.name} for pallas path"
+    tile = min(tile, n)
+    pad_n = (-n) % tile
+    if pad_n:
+        padn = lambda a: jnp.pad(a, ((0, 0), (0, pad_n), (0, 0)))
+        points, ray_dirs = padn(points), padn(ray_dirs)
+        if grid_feats is not None:
+            grid_feats = padn(grid_feats)
+    n_padded = n + pad_n
+    tiles_per_b = n_padded // tile
+
+    fg, pg = film_geo
+    fa, pa = film_app
+    fg = (fg * cfg.freq_scale + cfg.freq_offset).reshape(b, lg, h)
+    pg = jnp.reshape(pg, (b, lg, h))
+    fa = (fa * cfg.freq_scale + cfg.freq_offset).reshape(b, lc, h)
+    pa = jnp.reshape(pa, (b, lc, h))
+
+    pts2 = points.reshape(b * n_padded, 3)
+    dirs2 = ray_dirs.reshape(b * n_padded, 3)
+    inputs = [pts2, dirs2]
+    if g:
+        inputs.append(grid_feats.reshape(b * n_padded, g))
+    inputs += [fg, pg, fa, pa]
+
+    weights = _pack(params, cfg)
+    n_label_lin = (cfg.label_hidden_layers + 1) if cfg.n_labels else 0
+    out_dim = cfg.output_dim
+    out_pad = ((out_dim + 127) // 128) * 128
+
+    def kernel(*refs):
+        if g:
+            pts_ref, dirs_ref, gf_ref = refs[0], refs[1], refs[2]
+            fi = 3
+        else:
+            pts_ref, dirs_ref = refs[0], refs[1]
+            gf_ref = None
+            fi = 2
+        fg_ref, pg_ref, fa_ref, pa_ref = refs[fi:fi + 4]
+        wrefs = refs[fi + 4:-1]
+        out_ref = refs[-1]
+
+        def lin(x_f32, wi):
+            w = wrefs[2 * wi][...]
+            bias = wrefs[2 * wi + 1][...]
+            y = jnp.dot(x_f32.astype(jnp.bfloat16), w,
+                        preferred_element_type=jnp.float32)
+            return y + bias[None, :]
+
+        def film(x, wi, freq_ref, phase_ref, li):
+            return jnp.sin(freq_ref[0, li][None, :] * lin(x, wi)
+                           + phase_ref[0, li][None, :])
+
+        x = pts_ref[...].astype(jnp.float32)
+        for i in range(lg):
+            x = film(x, i, fg_ref, pg_ref, i)
+
+        # color branch input rows: [ray_dir(3) | grid(G) | x(H)]
+        w0 = wrefs[2 * lg][...]
+        b0 = wrefs[2 * lg + 1][...]
+        y = jnp.dot(dirs_ref[...].astype(jnp.bfloat16), w0[:3],
+                    preferred_element_type=jnp.float32)
+        if g:
+            y = y + jnp.dot(gf_ref[...].astype(jnp.bfloat16), w0[3:3 + g],
+                            preferred_element_type=jnp.float32)
+        y = y + jnp.dot(x.astype(jnp.bfloat16), w0[3 + g:],
+                        preferred_element_type=jnp.float32)
+        c = jnp.sin(fa_ref[0, 0][None, :] * (y + b0[None, :])
+                    + pa_ref[0, 0][None, :])
+        for i in range(1, lc):
+            c = film(c, lg + i, fa_ref, pa_ref, i)
+
+        hbase = lg + lc
+        sigma = lin(x, hbase)
+        outs = []
+        if n_label_lin:
+            lbl = x
+            for j in range(n_label_lin):
+                lbl = lin(lbl, hbase + 1 + j)
+            if cfg.label_sigmoid:
+                lbl = jax.nn.sigmoid(lbl)
+            outs.append(lbl)
+        rgb = lin(c, hbase + 1 + n_label_lin)
+        if cfg.rgb_sigmoid:
+            rgb = jax.nn.sigmoid(rgb)
+        outs.append(rgb)
+        outs.append(sigma)
+        res = jnp.concatenate(outs, axis=-1)
+        out_ref[...] = jnp.pad(res, ((0, 0), (0, out_pad - out_dim)))
+
+    row_spec = lambda c: pl.BlockSpec(
+        (tile, c), lambda t: (t, 0), memory_space=pltpu.VMEM)
+    film_spec = lambda l: pl.BlockSpec(
+        (1, l, h), lambda t: (t // tiles_per_b, 0, 0),
+        memory_space=pltpu.VMEM)
+    in_specs = [row_spec(3), row_spec(3)]
+    if g:
+        in_specs.append(row_spec(g))
+    in_specs += [film_spec(lg), film_spec(lg), film_spec(lc), film_spec(lc)]
+    for w in weights:
+        in_specs.append(pl.BlockSpec(
+            w.shape, (lambda t: (0, 0)) if w.ndim == 2 else (lambda t: (0,)),
+            memory_space=pltpu.VMEM))
+
+    flops_per_pt = 2 * h * (
+        h * (lg - 1 + lc - 1) + 6 + g
+        + 1 + 3 + (cfg.label_hidden_layers * h + cfg.n_labels
+                   if cfg.n_labels else 0))
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b * n_padded, out_pad), jnp.float32),
+        grid=(b * tiles_per_b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, out_pad), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=b * n * flops_per_pt,
+            bytes_accessed=b * n * (6 + g + out_pad) * 4,
+            transcendentals=b * n * h * (lg + lc),
+        ),
+    )(*inputs, *weights)
+    out = out[:, :out_dim].reshape(b, n_padded, out_dim)
+    return out[:, :n] if pad_n else out
