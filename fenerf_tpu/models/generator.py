@@ -77,25 +77,17 @@ class RenderConfig:
         return dataclasses.replace(self, **kw)
 
 
-def _eval_field_chunked(params, fcfg, rcfg, points, dirs, film_geo, film_app):
-    """Evaluate the field over (B, R, S, 3) points, optionally lax.map-chunked
-    along the ray axis to bound live activation memory (TPU replacement for
-    the reference's max_batch_size while loops)."""
+def _eval_chunked(field_fn, rcfg, points, dirs, output_dim):
+    """Evaluate field_fn(points (B,M,3), dirs (B,M,3)) -> (B,M,C) over
+    (B, R, S, 3) samples, optionally lax.map-chunked along the ray axis to
+    bound live activation memory (TPU replacement for the reference's
+    max_batch_size while loops)."""
     b, r, s, _ = points.shape
-    compute_dtype = jnp.bfloat16 if rcfg.compute_dtype == "bfloat16" else jnp.float32
 
     def eval_block(pts, drs):
-        # pts: (B, rblk, S, 3) -> flatten points axis for the MLP
         rb = pts.shape[1]
-        out = fields.apply_field(
-            params, fcfg,
-            pts.reshape(b, rb * s, 3),
-            drs.reshape(b, rb * s, 3),
-            film_geo, film_app,
-            compute_dtype=compute_dtype,
-            backend=rcfg.backend,
-        )
-        return out.reshape(b, rb, s, fcfg.output_dim)
+        out = field_fn(pts.reshape(b, rb * s, 3), drs.reshape(b, rb * s, 3))
+        return out.reshape(b, rb, s, output_dim)
 
     dirs_exp = jnp.broadcast_to(dirs[:, :, None, :], points.shape)
     if rcfg.lock_view_dependence:
@@ -110,21 +102,32 @@ def _eval_field_chunked(params, fcfg, rcfg, points, dirs, film_geo, film_app):
     pts_b = points.reshape(b, n_blocks, chunk, s, 3).transpose(1, 0, 2, 3, 4)
     dirs_b = dirs_exp.reshape(b, n_blocks, chunk, s, 3).transpose(1, 0, 2, 3, 4)
     out = jax.lax.map(lambda args: eval_block(*args), (pts_b, dirs_b))
-    return out.transpose(1, 0, 2, 3, 4).reshape(b, r, s, fcfg.output_dim)
+    return out.transpose(1, 0, 2, 3, 4).reshape(b, r, s, output_dim)
 
 
-def render(
-    params: Params,
-    fcfg: fields.FieldConfig,
+def _film_field_fn(params, fcfg, rcfg, film_geo, film_app):
+    compute_dtype = (jnp.bfloat16 if rcfg.compute_dtype == "bfloat16"
+                     else jnp.float32)
+
+    def field_fn(pts, drs):
+        return fields.apply_field(
+            params, fcfg, pts, drs, film_geo, film_app,
+            compute_dtype=compute_dtype, backend=rcfg.backend)
+
+    return field_fn
+
+
+def render_core(
+    field_fn,
+    output_dim: int,
     rcfg: RenderConfig,
     key: jax.Array,
-    film_geo: Film,
-    film_app: Film,
     batch_size: int,
     noise_std: float | jax.Array = 0.0,
     camera: tuple | None = None,
 ) -> dict[str, jax.Array]:
-    """Render a batch of images from W-space film activations.
+    """The full volumetric pipeline around an arbitrary per-point field
+    field_fn(points (B,M,3), dirs (B,M,3)) -> (B,M,output_dim).
 
     camera: optional (pitch, yaw, fov) traced scalars overriding the rcfg
     camera distribution with a deterministic pose — video trajectories render
@@ -157,9 +160,8 @@ def render(
         mode=sample_dist, perturb=rcfg.perturb,
     )
 
-    coarse_out = _eval_field_chunked(
-        params, fcfg, rcfg, tr.points, tr.ray_dirs, film_geo, film_app
-    )
+    coarse_out = _eval_chunked(field_fn, rcfg, tr.points, tr.ray_dirs,
+                               output_dim)
 
     if rcfg.hierarchical:
         # coarse weights drive importance resampling; no gradients flow
@@ -180,9 +182,8 @@ def render(
             tr.ray_origins[:, :, None, :]
             + tr.ray_dirs[:, :, None, :] * fine_z[..., None]
         )
-        fine_out = _eval_field_chunked(
-            params, fcfg, rcfg, fine_pts, tr.ray_dirs, film_geo, film_app
-        )
+        fine_out = _eval_chunked(field_fn, rcfg, fine_pts, tr.ray_dirs,
+                                 output_dim)
         all_out, all_z = integ.merge_sorted(fine_out, coarse_out, fine_z, tr.z_vals)
     else:
         all_out, all_z = coarse_out, tr.z_vals
@@ -207,6 +208,49 @@ def render(
         "opacity": res.weights_sum.reshape(batch_size, hw, hw),
         "position": jnp.concatenate([tr.pitch, tr.yaw], axis=-1),
     }
+
+
+def render(
+    params: Params,
+    fcfg: fields.FieldConfig,
+    rcfg: RenderConfig,
+    key: jax.Array,
+    film_geo: Film,
+    film_app: Film,
+    batch_size: int,
+    noise_std: float | jax.Array = 0.0,
+    camera: tuple | None = None,
+) -> dict[str, jax.Array]:
+    """Render a batch of images from W-space film activations (the FiLM-SIREN
+    family; see render_core for outputs)."""
+    field_fn = _film_field_fn(params, fcfg, rcfg, film_geo, film_app)
+    return render_core(field_fn, fcfg.output_dim, rcfg, key, batch_size,
+                       noise_std, camera)
+
+
+def render_grid_from_z(
+    params: Params,
+    gcfg,   # latent_grid_field.GridFieldConfig
+    rcfg: RenderConfig,
+    key: jax.Array,
+    z: jax.Array,
+    noise_std: float | jax.Array = 0.0,
+    camera: tuple | None = None,
+) -> dict[str, jax.Array]:
+    """Latent-grid family (SPATIALSIRENGRID): z -> StyleGenerator2D grid ->
+    per-point local latents -> render. Reference ImplicitGenerator3d.forward
+    with the grid SIREN (generators.py:13-431 + siren.py:437-451)."""
+    from fenerf_tpu.nn import latent_grid_field as lgf
+
+    compute_dtype = (jnp.bfloat16 if rcfg.compute_dtype == "bfloat16"
+                     else jnp.float32)
+
+    def field_fn(pts, drs):
+        return lgf.apply_grid_field(params, gcfg, pts, drs, z,
+                                    compute_dtype=compute_dtype)
+
+    return render_core(field_fn, gcfg.output_dim, rcfg, key, z.shape[0],
+                       noise_std, camera)
 
 
 def render_from_z(

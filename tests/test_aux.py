@@ -1,0 +1,162 @@
+"""Tests for aux components: losses, diff_augment, KID/IS, mask tools,
+latent-grid render path."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fenerf_tpu.eval.metrics import inception_score, kid, mmd2_unbiased, \
+    polynomial_kernel
+from fenerf_tpu.train import diff_augment as da
+from fenerf_tpu.train import losses as L
+from fenerf_tpu.utils import mask_tools as mt
+
+
+class TestGanLosses:
+    def test_hinge_discriminator(self):
+        pred = jnp.asarray([2.0, -0.5])
+        # real: mean(relu(1 - pred)) = mean([0, 1.5])
+        np.testing.assert_allclose(
+            float(L.gan_loss(pred, True, "hinge", True)), 0.75)
+        # fake: mean(relu(1 + pred)) = mean([3, 0.5])
+        np.testing.assert_allclose(
+            float(L.gan_loss(pred, False, "hinge", True)), 1.75)
+
+    def test_hinge_generator(self):
+        pred = jnp.asarray([2.0, -0.5])
+        np.testing.assert_allclose(
+            float(L.gan_loss(pred, True, "hinge", False)), -0.75)
+
+    def test_ls(self):
+        pred = jnp.asarray([0.5])
+        np.testing.assert_allclose(float(L.gan_loss(pred, True, "ls")), 0.25)
+
+    def test_original_matches_bce(self):
+        torch = pytest.importorskip("torch")
+        pred = np.random.RandomState(0).randn(8).astype(np.float32)
+        ref = torch.nn.functional.binary_cross_entropy_with_logits(
+            torch.tensor(pred), torch.ones(8)).item()
+        np.testing.assert_allclose(
+            float(L.gan_loss(jnp.asarray(pred), True, "original")), ref,
+            rtol=1e-5)
+
+    def test_focal_dice_logcosh_finite(self):
+        logits = jnp.asarray(np.random.RandomState(1).randn(2, 3, 4, 4))
+        target = (jax.random.uniform(jax.random.key(0), (2, 3, 4, 4)) > 0.5)
+        target = target.astype(jnp.float32)
+        for fn in (L.focal_loss, L.dice_loss, L.soft_bce_loss, L.log_cosh_loss):
+            v = float(fn(logits, target))
+            assert np.isfinite(v) and v >= 0
+
+    def test_noise_regularize(self):
+        noises = [jax.random.normal(jax.random.key(0), (1, 1, 16, 16))]
+        v = float(L.noise_regularize(noises))
+        assert np.isfinite(v) and v >= 0
+
+
+class TestDiffAugment:
+    def test_shapes_and_grads(self):
+        x = jax.random.normal(jax.random.key(0), (2, 3, 16, 16))
+        y = da.diff_augment(jax.random.key(1), x)
+        assert y.shape == x.shape
+        g = jax.grad(lambda x: da.diff_augment(jax.random.key(1), x).sum())(x)
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_cutout_zeroes_region(self):
+        x = jnp.ones((1, 3, 32, 32))
+        y = da.diff_augment(jax.random.key(2), x, policy="cutout")
+        assert float(y.min()) == 0.0
+        assert float(y.max()) == 1.0
+
+    def test_empty_policy_identity(self):
+        x = jnp.ones((1, 3, 8, 8))
+        np.testing.assert_allclose(da.diff_augment(jax.random.key(0), x, ""),
+                                   x)
+
+
+class TestKidIs:
+    def test_kid_same_distribution_near_zero(self):
+        # unbiased MMD expects INDEPENDENT draws; literally identical sets
+        # bias the cross term through the kernel diagonal
+        rng = np.random.RandomState(0)
+        a, b = rng.randn(600, 16), rng.randn(600, 16)
+        mean, std = kid(a, b, n_subsets=10, subset_size=200)
+        assert abs(mean) < 0.05
+
+    def test_kid_separates(self):
+        rng = np.random.RandomState(0)
+        a = rng.randn(400, 16)
+        b = rng.randn(400, 16) + 2.0
+        near, _ = kid(a, rng.randn(400, 16), n_subsets=10, subset_size=100)
+        far, _ = kid(a, b, n_subsets=10, subset_size=100)
+        assert far > near + 1.0
+
+    def test_mmd_small_for_same_distribution(self):
+        rng = np.random.RandomState(1)
+        x, y = rng.randn(500, 4), rng.randn(500, 4)
+        v = mmd2_unbiased(polynomial_kernel(x, x), polynomial_kernel(y, y),
+                          polynomial_kernel(x, y))
+        assert abs(v) < 0.2
+        # and the kernel itself is symmetric positive on the diagonal
+        k = polynomial_kernel(x, x)
+        np.testing.assert_allclose(k, k.T, rtol=1e-6)
+
+    def test_inception_score_bounds(self):
+        rng = np.random.RandomState(2)
+        # uniform logits -> IS ~ 1
+        flat, _ = inception_score(np.zeros((100, 10)))
+        assert abs(flat - 1.0) < 1e-5
+        # one-hot confident + diverse -> IS ~ n_classes
+        logits = np.eye(10)[rng.randint(0, 10, 1000)] * 50
+        sharp, _ = inception_score(logits)
+        assert sharp > 8.0
+
+
+class TestMaskTools:
+    def test_remove_switch(self):
+        m = np.array([[13, 13], [1, 0]], np.uint8)
+        out = mt.remove_semantic(m, 13)
+        assert (out == 13).sum() == 0 and (out == 1).sum() == 3
+        sw = mt.switch_semantic(m, 13, 1)
+        assert (sw == 13).sum() == 1 and (sw == 1).sum() == 2
+
+    def test_add_semantic(self):
+        m = np.zeros((4, 4), np.uint8)
+        region = np.zeros((4, 4), bool)
+        region[:2] = True
+        out = mt.add_semantic(m, 10, region)
+        assert (out == 10).sum() == 8
+
+    def test_scale_semantic_grow_shrink(self):
+        m = np.ones((16, 16), np.uint8)
+        m[6:10, 6:10] = 13
+        grown = mt.scale_semantic(m, 13, 1.5)
+        assert (grown == 13).sum() > 16
+        shrunk = mt.scale_semantic(m, 13, 0.5)
+        assert (shrunk == 13).sum() < 16
+
+    def test_simplify(self):
+        m = np.array([3, 14, 15, 16, 18, 1], np.uint8)
+        out = mt.simplify_mask(m)
+        assert set(np.unique(out)) <= {1, 13, 17}
+
+    def test_colorize_roundtrip(self):
+        m = np.arange(19, dtype=np.uint8).reshape(1, 19)
+        rgb = mt.colorize(m)
+        back = mt.color_to_mask(rgb)
+        np.testing.assert_array_equal(back, m)
+
+
+class TestLatentGridRender:
+    def test_render_grid_from_z(self):
+        from fenerf_tpu.models import generator as gen
+        from fenerf_tpu.nn import latent_grid_field as lgf
+
+        cfg = lgf.GridFieldConfig(z_dim=8, hidden_dim=16, ch_max=16)
+        params = lgf.init_grid_field(jax.random.key(0), cfg)
+        rcfg = gen.RenderConfig(img_size=8, num_steps=4, hierarchical=True)
+        out = gen.render_grid_from_z(params, cfg, rcfg, jax.random.key(1),
+                                     jnp.ones((2, 8)), noise_std=0.5)
+        assert out["pixels"].shape == (2, 3, 8, 8)
+        assert bool(jnp.all(jnp.isfinite(out["pixels"])))
