@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from fenerf_tpu.core.grid_sample import grid_sample_3d
 from fenerf_tpu.nn import init as winit
+from fenerf_tpu.ops.fast_math import fast_sin
 
 Params = Any  # nested dict / list pytree of jnp arrays
 
@@ -286,13 +287,15 @@ def _film_sin(x, w, b, freq, phase, compute_dtype):
 
     The matmul runs in compute_dtype (bf16 on TPU feeds the MXU) with f32
     accumulation; the sine epilogue stays f32 — sin of O(100) arguments loses
-    too much precision in bf16.
+    too much precision in bf16. fast_sin (range-reduced degree-11 polynomial,
+    ops/fast_math.py) replaces XLA's sin: profiling showed sin was ~2/3 of
+    field-eval time, and the 6e-7 max error is noise at these scales.
     """
     y = jnp.dot(
         x.astype(compute_dtype), w.astype(compute_dtype),
         preferred_element_type=jnp.float32,
     ) + b
-    return jnp.sin(freq * y + phase)
+    return fast_sin(freq * y + phase)
 
 
 def apply_field(

@@ -23,6 +23,7 @@ from fenerf_tpu.core.grid_sample import grid_sample_2d
 from fenerf_tpu.nn import init as winit
 from fenerf_tpu.nn import stylegan
 from fenerf_tpu.nn.fields import _init_mapping
+from fenerf_tpu.ops.fast_math import fast_sin
 
 Params = Any
 
@@ -121,8 +122,8 @@ def apply_grid_field(
     def film(xx, lyr, li):
         y = jnp.dot(xx.astype(compute_dtype), lyr["w"].astype(compute_dtype),
                     preferred_element_type=jnp.float32) + lyr["b"]
-        return jnp.sin(freqs[..., li * h:(li + 1) * h] * y
-                       + phases[..., li * h:(li + 1) * h])
+        return fast_sin(freqs[..., li * h:(li + 1) * h] * y
+                        + phases[..., li * h:(li + 1) * h])
 
     for li, lyr in enumerate(params["trunk"]):
         xx = film(xx, lyr, li)

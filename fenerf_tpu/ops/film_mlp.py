@@ -29,8 +29,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fenerf_tpu.nn.fields import FieldConfig
+from fenerf_tpu.ops.fast_math import _poly_sin, _reduce
 
 DEFAULT_TILE = 1024
+
+
+def _fsin(x):
+    """Range-reduced polynomial sine (see ops/fast_math.py) — sin dominates
+    the VPU budget of this kernel."""
+    return _poly_sin(_reduce(x))
 
 
 def supported(cfg: FieldConfig) -> bool:
@@ -123,8 +130,8 @@ def film_mlp(
             return y + bias[None, :]
 
         def film(x, wi, freq_ref, phase_ref, li):
-            return jnp.sin(freq_ref[0, li][None, :] * lin(x, wi)
-                           + phase_ref[0, li][None, :])
+            return _fsin(freq_ref[0, li][None, :] * lin(x, wi)
+                         + phase_ref[0, li][None, :])
 
         x = pts_ref[...].astype(jnp.float32)
         for i in range(lg):
@@ -140,8 +147,8 @@ def film_mlp(
                             preferred_element_type=jnp.float32)
         y = y + jnp.dot(x.astype(jnp.bfloat16), w0[3 + g:],
                         preferred_element_type=jnp.float32)
-        c = jnp.sin(fa_ref[0, 0][None, :] * (y + b0[None, :])
-                    + pa_ref[0, 0][None, :])
+        c = _fsin(fa_ref[0, 0][None, :] * (y + b0[None, :])
+                  + pa_ref[0, 0][None, :])
         for i in range(1, lc):
             c = film(c, lg + i, fa_ref, pa_ref, i)
 
