@@ -78,6 +78,8 @@ def field_from_torch(sd: Mapping[str, Any], cfg: FieldConfig) -> dict:
         params["label_head"] = [
             _lin(sd, f"label_layer_linear.{i}") for i in range(n)
         ]
+        if cfg.label_film:
+            params["label_film"] = _lin(sd, "label_layer_sine.layer")
 
     def mapping(prefix):
         # reference Sequential indices 0,2,4,6,8 are the linears

@@ -43,7 +43,9 @@ def grid_sample_3d(grid: jax.Array, coords: jax.Array) -> jax.Array:
     c0 = [jnp.clip(i0[:, a], 0, s - 1) for a, s in enumerate((w, h, d))]
     c1 = [jnp.clip(i1[:, a], 0, s - 1) for a, s in enumerate((w, h, d))]
 
-    flat = grid.reshape(c, -1)  # (C, D*H*W)
+    # voxel-major table: each gather pulls one contiguous C-vector row
+    # (lane-aligned), which TPU gathers service far faster than column picks
+    flat = grid.reshape(c, -1).T  # (D*H*W, C)
 
     out = 0.0
     for bz, (zi, zv) in enumerate(((c0[2], valid0[2]), (c1[2], valid1[2]))):
@@ -53,11 +55,68 @@ def grid_sample_3d(grid: jax.Array, coords: jax.Array) -> jax.Array:
             for bx, (xi, xv) in enumerate(((c0[0], valid0[0]), (c1[0], valid1[0]))):
                 wx = (1.0 - frac[:, 0]) if bx == 0 else frac[:, 0]
                 lin = (zi * h + yi) * w + xi  # (N,)
-                vals = jnp.take(flat, lin, axis=1)  # (C, N)
+                vals = jnp.take(flat, lin, axis=0)  # (N, C)
                 weight = wz * wy * wx * (zv & yv & xv).astype(coords.dtype)
-                out = out + vals * weight[None, :]
+                out = out + vals * weight[:, None]
 
-    return out.T.reshape(*batch_shape, c)
+    return out.reshape(*batch_shape, c)
+
+
+def grid_sample_3d_fast(grid: jax.Array, coords: jax.Array) -> jax.Array:
+    """grid_sample_3d with 2 row-gathers instead of 8 (TPU: gather cost
+    scales with gather COUNT, measured 155ms -> 64ms for 1.6M points).
+
+    The (C, D, H, W) grid is zero-padded by 1 voxel and expanded into a
+    table whose row (z, y, x) holds the 2x2 xy-neighborhood [4C channels];
+    a trilinear sample then needs only the z0/z1 rows. The zero border
+    realizes torch's padding_mode='zeros' for one-cell overflow; points
+    further outside are masked. Differentiable w.r.t. grid (pad/stack/gather).
+    Numerics match grid_sample_3d to f32 rounding.
+    """
+    c, d, h, w = grid.shape
+    batch_shape = coords.shape[:-1]
+    xyz = coords.reshape(-1, 3)
+
+    # padded (C, D+2, H+2, W+2), then xy-expanded rows of 4C
+    p = jnp.pad(grid, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    # E[z, y, x] = [P[z,y,x], P[z,y,x+1], P[z,y+1,x], P[z,y+1,x+1]]
+    e = jnp.stack([
+        p[:, :, :-1, :-1], p[:, :, :-1, 1:], p[:, :, 1:, :-1], p[:, :, 1:, 1:],
+    ], axis=0)  # (4, C, D+2, H+1, W+1)
+    hp, wp = h + 1, w + 1
+    table = e.transpose(2, 3, 4, 0, 1).reshape((d + 2) * hp * wp, 4 * c)
+
+    sizes = jnp.array([w, h, d], dtype=coords.dtype)
+    idx = (xyz + 1.0) / 2.0 * (sizes - 1.0)
+    i0 = jnp.floor(idx)
+    fx, fy, fz = (idx - i0).T
+    x0, y0, z0 = i0.astype(jnp.int32).T
+
+    # rows are valid where clip() does not move the base corner
+    mask_xy = ((x0 >= -1) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 1))
+    mask_z0 = mask_xy & (z0 >= -1) & (z0 <= d - 1)
+    mask_z1 = mask_xy & (z0 >= -2) & (z0 <= d - 2)
+
+    xp = jnp.clip(x0 + 1, 0, w)   # into [0, W] of the W+1 expanded axis
+    yp = jnp.clip(y0 + 1, 0, h)
+    zp0 = jnp.clip(z0 + 1, 0, d + 1)
+    zp1 = jnp.clip(z0 + 2, 0, d + 1)
+    base = yp * wp + xp
+    r0 = jnp.take(table, zp0 * (hp * wp) + base, axis=0)  # (N, 4C)
+    r1 = jnp.take(table, zp1 * (hp * wp) + base, axis=0)
+
+    wxy = jnp.stack(
+        [(1 - fy) * (1 - fx), (1 - fy) * fx, fy * (1 - fx), fy * fx],
+        axis=-1)  # (N, 4) matching chunk order
+    dt = coords.dtype
+
+    def combine(rows, wz, mask):
+        rows = rows.reshape(-1, 4, c)
+        return jnp.einsum("nkc,nk->nc", rows,
+                          wxy * (wz * mask.astype(dt))[:, None])
+
+    out = combine(r0, 1.0 - fz, mask_z0) + combine(r1, fz, mask_z1)
+    return out.reshape(*batch_shape, c)
 
 
 def grid_sample_2d(grid: jax.Array, coords: jax.Array,

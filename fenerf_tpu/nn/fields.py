@@ -35,7 +35,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from fenerf_tpu.core.grid_sample import grid_sample_3d
+from fenerf_tpu.core.grid_sample import grid_sample_3d_fast
 from fenerf_tpu.nn import init as winit
 from fenerf_tpu.ops.fast_math import fast_sin
 
@@ -65,6 +65,8 @@ class FieldConfig:
     first_layer_init: str = "film"   # 'film' (1/fan_in) | 'modified' (1/3)
     label_sigmoid: bool = False
     rgb_sigmoid: bool = True
+    label_film: bool = False         # FiLM-conditioned label head (single-
+                                     # latent semantic variants, siren.py:597+)
     freq_scale: float = 15.0
     freq_offset: float = 30.0
     sine_w0: float = 25.0            # frequency_init constant
@@ -143,6 +145,27 @@ VARIANTS: dict[str, FieldConfig] = {
         name="SIRENBASELINESEMANTICDISENTANGLE_debug",
         n_labels=19, label_sigmoid=True,
     ),
+    # --- single-latent semantic variants ---
+    "SPATIALSIRENSEMANTIC": _cfg(
+        name="SPATIALSIRENSEMANTIC", n_labels=19, single_latent=True,
+        color_layers=1, label_hidden_layers=0, label_film=True,
+        z_geo_dim=256, z_app_dim=256,
+    ),
+    # --- single-latent pi-GAN embedding-grid variants (RGB-only) ---
+    "EmbeddingPiGAN128": _cfg(
+        name="EmbeddingPiGAN128", n_labels=0, single_latent=True,
+        hidden_dim=128, color_layers=1, label_hidden_layers=0,
+        grid_channels=32, grid_resolution=96, grid_init_scale=0.01,
+        grid_to="trunk", first_layer_init="modified",
+        z_geo_dim=256, z_app_dim=256,
+    ),
+    "EmbeddingPiGAN256": _cfg(
+        name="EmbeddingPiGAN256", n_labels=0, single_latent=True,
+        color_layers=1, label_hidden_layers=0,
+        grid_channels=32, grid_resolution=64, grid_init_scale=0.1,
+        grid_to="trunk", first_layer_init="modified",
+        z_geo_dim=256, z_app_dim=256,
+    ),
     # --- single-latent pi-GAN baselines (RGB-only) ---
     "TALLSIREN": _cfg(
         name="TALLSIREN", n_labels=0, single_latent=True, color_layers=1,
@@ -219,6 +242,10 @@ def init_field(key: jax.Array, cfg: FieldConfig, dtype=jnp.float32) -> Params:
         "color_head": winit.linear(k_cout, h, cfg.rgb_dim, freq_init, dtype=dtype),
     }
 
+    if cfg.label_film:
+        params["label_film"] = winit.linear(
+            jax.random.fold_in(k_label, 99), h, h, freq_init, dtype=dtype)
+
     # label head: label_hidden_layers x Linear(h,h) then Linear(h, n_labels)
     if cfg.n_labels:
         lkeys = jax.random.split(k_label, cfg.label_hidden_layers + 1)
@@ -232,7 +259,7 @@ def init_field(key: jax.Array, cfg: FieldConfig, dtype=jnp.float32) -> Params:
 
     # mapping networks: film chunk counts
     n_trunk_film = cfg.trunk_layers
-    n_color_film = cfg.color_layers
+    n_color_film = cfg.color_layers + int(cfg.label_film)
     if cfg.single_latent:
         out = (n_trunk_film + n_color_film) * h * 2
         params["geo_map"] = _init_mapping(
@@ -323,7 +350,7 @@ def apply_field(
         warped = points * (2.0 / cfg.box_side) if cfg.box_side else points
         gf = None
         if cfg.grid_channels and cfg.grid_to == "color":
-            gf = grid_sample_3d(params["grid"], warped)
+            gf = grid_sample_3d_fast(params["grid"], warped)
         return film_mlp_ops.film_mlp(
             params, cfg, warped, ray_dirs, gf, film_geo, film_app)
 
@@ -343,7 +370,7 @@ def apply_field(
 
     grid_feats = None
     if cfg.grid_channels:
-        grid_feats = grid_sample_3d(params["grid"], x_in)
+        grid_feats = grid_sample_3d_fast(params["grid"], x_in)
 
     x = x_in
     if grid_feats is not None and cfg.grid_to == "trunk":
@@ -356,8 +383,15 @@ def apply_field(
     sigma = x @ params["sigma_head"]["w"] + params["sigma_head"]["b"]
 
     outs = []
+    color_chunk0 = 0
     if cfg.n_labels:
         lbl = x
+        if cfg.label_film:
+            # label head conditioned on its own film chunk (siren.py:1359)
+            p = params["label_film"]
+            lbl = _film_sin(lbl, p["w"], p["b"], chunk(fa, 0), chunk(pa, 0),
+                            compute_dtype)
+            color_chunk0 = 1
         for lyr in params["label_head"]:
             lbl = lbl @ lyr["w"] + lyr["b"]
         if cfg.label_sigmoid:
@@ -372,7 +406,8 @@ def apply_field(
     c_parts.append(x)
     c = jnp.concatenate(c_parts, axis=-1)
     for i, lyr in enumerate(params["color"]):
-        c = _film_sin(c, lyr["w"], lyr["b"], chunk(fa, i), chunk(pa, i),
+        c = _film_sin(c, lyr["w"], lyr["b"],
+                      chunk(fa, color_chunk0 + i), chunk(pa, color_chunk0 + i),
                       compute_dtype)
     rgb = c @ params["color_head"]["w"] + params["color_head"]["b"]
     if cfg.rgb_sigmoid:

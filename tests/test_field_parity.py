@@ -109,6 +109,16 @@ class TestFieldParity:
             ref_siren.EmbeddingPiGAN128SEMANTICDISENTANGLE, cfg, tol=5e-4
         )
 
+    def test_spatial_siren_semantic_film_label(self):
+        cfg = fields.get_config("SPATIALSIRENSEMANTIC", z_geo_dim=16,
+                                z_app_dim=16, hidden_dim=32)
+        _parity_case(ref_siren.SPATIALSIRENSEMANTIC, cfg)
+
+    def test_embedding_pigan128_rgb(self):
+        cfg = fields.get_config("EmbeddingPiGAN128", z_geo_dim=16,
+                                z_app_dim=16, hidden_dim=16)
+        _parity_case(ref_siren.EmbeddingPiGAN128, cfg, tol=5e-4, n=9)
+
     def test_tallsiren_single_latent(self):
         cfg = fields.get_config("TALLSIREN", z_geo_dim=16, z_app_dim=16,
                                 hidden_dim=32)

@@ -54,3 +54,34 @@ class TestGridSample3D:
         coords = jnp.array([[0.1, -0.2, 0.3]])
         g = jax.grad(lambda gr: grid_sample_3d(gr, coords).sum())(grid)
         assert float(jnp.abs(g).sum()) > 0
+
+
+class TestGridSample3DFast:
+    def test_matches_slow_path_interior_and_oob(self):
+        from fenerf_tpu.core.grid_sample import grid_sample_3d_fast
+
+        rng = np.random.RandomState(3)
+        grid = jnp.asarray(rng.randn(5, 6, 7, 8).astype(np.float32))
+        coords = jnp.asarray((rng.rand(500, 3).astype(np.float32) * 4 - 2))
+        slow = grid_sample_3d(grid, coords)
+        fast = grid_sample_3d_fast(grid, coords)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_matches_torch(self):
+        from fenerf_tpu.core.grid_sample import grid_sample_3d_fast
+
+        rng = np.random.RandomState(4)
+        grid = rng.randn(4, 5, 5, 5).astype(np.float32)
+        coords = (rng.rand(256, 3).astype(np.float32) * 3 - 1.5)
+        ref = _torch_reference(grid, coords)
+        fast = grid_sample_3d_fast(jnp.asarray(grid), jnp.asarray(coords))
+        np.testing.assert_allclose(np.asarray(fast), ref, atol=1e-5)
+
+    def test_grad_flows(self):
+        from fenerf_tpu.core.grid_sample import grid_sample_3d_fast
+
+        grid = jnp.ones((2, 4, 4, 4))
+        coords = jnp.asarray([[0.1, -0.2, 0.3]])
+        g = jax.grad(lambda gr: grid_sample_3d_fast(gr, coords).sum())(grid)
+        assert float(jnp.abs(g).sum()) > 0
