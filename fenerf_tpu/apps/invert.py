@@ -105,6 +105,11 @@ def main(argv=None):
     p.add_argument("--no_ema", dest="use_ema", action="store_false")
     p.add_argument("--eval_every", type=int, default=20)
     p.add_argument("--num_steps", type=int, default=24)
+    p.add_argument("--render_video", action="store_true",
+                   help="render the reconstruction trajectory video after "
+                        "optimization (reference run_render_recon_video)")
+    p.add_argument("--trajectory", default="front")
+    p.add_argument("--num_frames", type=int, default=36)
     args = p.parse_args(argv)
 
     import jax
@@ -252,6 +257,34 @@ def main(argv=None):
     )
     np.save(os.path.join(args.save_dir, "mious.npy"), np.asarray(mious))
     print(f"saved {out_path}")
+
+    if args.render_video:
+        # reconstruction video: [rgb | colorized seg | 50/50 blend] triptych
+        # (reference run_render_recon_video, inverse_render...py:471-507)
+        from fenerf_tpu.apps.common import camera_trajectory
+        from fenerf_tpu.utils.image import (mask2color, to_uint8, write_mp4)
+
+        fg = tuple(a + b for a, b in zip(w["geo"], offsets["geo"]))
+        fa = tuple(a + b for a, b in zip(w["app"], offsets["app"]))
+
+        @jax.jit
+        def render_frame(camera):
+            return gen.render(params, fcfg, eval_rcfg, jax.random.key(0),
+                              fg, fa, batch_size=1, noise_std=0.0,
+                              camera=camera)["pixels"]
+
+        frames = []
+        for t, pitch, yaw, fov in camera_trajectory(
+                args.trajectory, args.num_frames, 12.0):
+            pix = np.asarray(render_frame(
+                (jnp.asarray(pitch), jnp.asarray(yaw), jnp.asarray(fov))))[0]
+            rgb = to_uint8(pix[-3:], normalize=False).transpose(1, 2, 0)
+            seg = mask2color(pix[None, :-3])[0]
+            blend = (0.5 * rgb + 0.5 * seg).astype(np.uint8)
+            frames.append(np.concatenate([rgb, seg, blend], axis=1))
+        mp4 = os.path.join(args.save_dir, f"recon_{args.name}.mp4")
+        write_mp4(mp4, frames, fps=12)
+        print(f"wrote {mp4}")
     return out_path
 
 

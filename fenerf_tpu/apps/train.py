@@ -41,6 +41,9 @@ def main(argv=None):
     p.add_argument("--stage_overrides", default="",
                    help='JSON dict overriding stage meta, e.g. '
                         '{"batch_size": 4, "img_size": 16} (debug runs)')
+    p.add_argument("--profile_steps", default="",
+                   help="'start:stop' step range to capture a jax.profiler "
+                        "trace into <output_dir>/profile")
     args = p.parse_args(argv)
 
     import jax
@@ -111,6 +114,10 @@ def main(argv=None):
     total = args.total_steps or cur.end_step
     step = start_step
     t_last = time.time()
+    from fenerf_tpu.utils.profiling import StatsCollector
+    stats = StatsCollector()
+    prof_range = (tuple(int(x) for x in args.profile_steps.split(":"))
+                  if args.profile_steps else None)
 
     def sample_grids(state, meta, step):
         fcfg = meta.field_config()
@@ -162,11 +169,18 @@ def main(argv=None):
             noise_std=jnp.asarray(m.nerf_noise(step), jnp.float32),
             topk_frac=jnp.asarray(m.topk_fraction(step), jnp.float32),
         )
+        if prof_range and step == prof_range[0]:
+            jax.profiler.start_trace(
+                os.path.join(args.output_dir, "profile"))
         state, metrics = step_fn(state, imgs, labels,
                                  jax.random.fold_in(key, 10_000 + step), scal)
+        if prof_range and step == prof_range[1]:
+            jax.tree_util.tree_leaves(metrics)[0].block_until_ready()
+            jax.profiler.stop_trace()
 
         if host_index == 0 and step % args.log_every == 0:
             mvals = {k: float(v) for k, v in metrics.items()}
+            stats.report(**mvals)
             dt = time.time() - t_last
             t_last = time.time()
             rate = args.log_every * m.batch_size / dt if step else 0.0
@@ -226,6 +240,7 @@ def main(argv=None):
 
     if host_index == 0:
         ckpt.save(os.path.join(args.output_dir, "train_state.npz"), state)
+        stats.dump(os.path.join(args.output_dir, "stats.json"))
         print("training complete")
 
 

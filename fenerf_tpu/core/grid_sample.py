@@ -85,6 +85,10 @@ def grid_sample_3d_fast(grid: jax.Array, coords: jax.Array) -> jax.Array:
     ], axis=0)  # (4, C, D+2, H+1, W+1)
     hp, wp = h + 1, w + 1
     table = e.transpose(2, 3, 4, 0, 1).reshape((d + 2) * hp * wp, 4 * c)
+    # force materialization: without the barrier XLA fuses the pad/stack into
+    # every gather consumer and recomputes the 400MB table per use, which is
+    # catastrophic inside the full render graph
+    table = jax.lax.optimization_barrier(table)
 
     sizes = jnp.array([w, h, d], dtype=coords.dtype)
     idx = (xyz + 1.0) / 2.0 * (sizes - 1.0)

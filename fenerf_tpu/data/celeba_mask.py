@@ -109,9 +109,39 @@ class CelebADataset:
         return x, np.zeros((0, self.img_size, self.img_size), np.float32)
 
 
+class SimpleImageDataset:
+    """Direct-resize RGB datasets: Cats (hflip) / Carla (no flip)
+    (datasets.py:43-80) — NEAREST resize straight to img_size."""
+
+    def __init__(self, dataset_path: str, img_size: int, hflip: bool = True,
+                 **_):
+        self.images = sorted(glob.glob(dataset_path))
+        assert self.images, f"no data under {dataset_path}"
+        self.img_size = img_size
+        self.hflip = hflip
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, index: int, flip: bool = False):
+        img = Image.open(self.images[index]).convert("RGB").resize(
+            (self.img_size, self.img_size), Image.NEAREST)
+        x = np.asarray(img, dtype=np.float32) / 255.0
+        x = (x.transpose(2, 0, 1) - 0.5) / 0.5
+        if flip and self.hflip:
+            x = x[:, :, ::-1].copy()
+        return x, np.zeros((0, self.img_size, self.img_size), np.float32)
+
+
 DATASETS = {
     "CelebAMaskHQ_wo_background_seg_18": CelebAMaskDataset,
+    # 19-channel variant keeps the background channel (datasets.py:116-196)
+    "CelebAMaskHQ": lambda dataset_path, img_size, **kw: CelebAMaskDataset(
+        dataset_path, img_size, **{**kw, "seg_channels": 18}),
     "CelebA": CelebADataset,
+    "Cats": SimpleImageDataset,
+    "Carla": lambda dataset_path, img_size, **kw: SimpleImageDataset(
+        dataset_path, img_size, hflip=False, **kw),
 }
 
 

@@ -68,6 +68,9 @@ class RenderConfig:
     ray_chunk: int = 0        # 0 => whole image in one field eval
     compute_dtype: str = "float32"   # 'bfloat16' for the MXU fast path
     backend: str = "xla"      # 'pallas' => fused point-MLP kernel (inference)
+    remat: bool = False       # rematerialize field activations in backward —
+                              # the TPU lever replacing the reference's
+                              # part_forward grad-subset trick (SURVEY §2.3)
 
     @property
     def n_rays(self) -> int:
@@ -88,6 +91,9 @@ def _eval_chunked(field_fn, rcfg, points, dirs, output_dim):
         rb = pts.shape[1]
         out = field_fn(pts.reshape(b, rb * s, 3), drs.reshape(b, rb * s, 3))
         return out.reshape(b, rb, s, output_dim)
+
+    if rcfg.remat:
+        eval_block = jax.checkpoint(eval_block)
 
     dirs_exp = jnp.broadcast_to(dirs[:, :, None, :], points.shape)
     if rcfg.lock_view_dependence:

@@ -160,3 +160,52 @@ class TestLatentGridRender:
                                      jnp.ones((2, 8)), noise_std=0.5)
         assert out["pixels"].shape == (2, 3, 8, 8)
         assert bool(jnp.all(jnp.isfinite(out["pixels"])))
+
+
+class TestEditMaskCli:
+    def test_ops_pipeline(self, tmp_path):
+        import numpy as np
+        from PIL import Image
+        from fenerf_tpu.apps.edit_mask import main
+
+        m = np.zeros((32, 32), np.uint8)
+        m[4:12, 4:12] = 14   # hat
+        m[20:28, 4:12] = 4   # left_eye
+        m[20:28, 20:28] = 5  # right_eye
+        src = str(tmp_path / "m.png")
+        dst = str(tmp_path / "out.png")
+        Image.fromarray(m, mode="L").save(src)
+        main([src, dst, "--op", "remove:hat:hair",
+              "--op", "switch:left_eye:right_eye",
+              "--op", "rect:mouth:0:0:4:4", "--colorize"])
+        out = np.asarray(Image.open(dst))
+        assert (out == 14).sum() == 0
+        assert (out == 13).sum() == 64       # hat -> hair
+        assert out[22, 6] == 5 and out[22, 22] == 4  # eyes swapped
+        assert (out[:4, :4] == 10).all()     # rect mouth
+        import os
+        assert os.path.exists(str(tmp_path / "out_color.png"))
+
+
+class TestRematRender:
+    def test_remat_matches_and_grads(self):
+        import jax
+        import jax.numpy as jnp
+        from fenerf_tpu.models import generator as gen
+        from fenerf_tpu.nn import fields
+
+        cfg = fields.get_config("SIRENBASELINESEMANTICDISENTANGLE",
+                                hidden_dim=16, map_hidden_dim=16,
+                                z_geo_dim=8, z_app_dim=8)
+        params = fields.init_field(jax.random.key(0), cfg)
+        zg, za = jnp.ones((1, 8)) * 0.2, jnp.ones((1, 8)) * -0.1
+        r0 = gen.RenderConfig(img_size=8, num_steps=4, ray_chunk=16)
+        r1 = r0.replace(remat=True)
+        a = gen.render_from_z(params, cfg, r0, jax.random.key(1), zg, za)
+        b = gen.render_from_z(params, cfg, r1, jax.random.key(1), zg, za)
+        np.testing.assert_allclose(np.asarray(a["pixels"]),
+                                   np.asarray(b["pixels"]), atol=1e-6)
+        g = jax.grad(lambda p: gen.render_from_z(
+            p, cfg, r1, jax.random.key(1), zg, za)["pixels"].sum())(params)
+        assert all(bool(jnp.all(jnp.isfinite(x)))
+                   for x in jax.tree_util.tree_leaves(g))
