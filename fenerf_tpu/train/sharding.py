@@ -40,6 +40,29 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, sh)
 
 
+def check_replica_consistency(tree, mesh: Mesh, atol: float = 0.0) -> None:
+    """Assert replicated values are bit-identical across devices — the SPMD
+    analogue of the reference's (vendored, uncalled) check_ddp_consistency
+    (siren/torch_utils/misc.py:178-190). Useful after manual device_puts or
+    host-side state surgery; SPMD programs cannot diverge on their own."""
+    import jax.numpy as jnp
+
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        if not hasattr(leaf, "addressable_shards"):
+            continue
+        shards = leaf.addressable_shards
+        if len(shards) <= 1:
+            continue
+        ref = np.asarray(shards[0].data)
+        for s in shards[1:]:
+            diff = np.abs(np.asarray(s.data) - ref).max() if ref.size else 0.0
+            if diff > atol:
+                name = "/".join(str(getattr(p, "key", p)) for p in path)
+                raise AssertionError(
+                    f"replica divergence at {name}: device {s.device} "
+                    f"differs by {diff}")
+
+
 def jit_train_step_sharded(meta: StageMeta, mesh: Mesh):
     """Compile the train step against a mesh: state replicated, batch sharded.
 

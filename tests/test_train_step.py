@@ -146,3 +146,21 @@ class TestCurriculum:
         ecfg = m.eval_render_config(img_size=128)
         assert ecfg.fill_mode == "seg_padding_background"
         assert ecfg.img_size == 128
+
+
+class TestReplicaConsistency:
+    def test_detects_divergence(self):
+        mesh = sharding.data_mesh()
+        tree = sharding.replicate(mesh, {"w": jnp.ones((8, 8))})
+        sharding.check_replica_consistency(tree, mesh)  # passes
+        # force divergence via per-device puts
+        devs = jax.devices()
+        import numpy as np
+        shards = [np.ones((8, 8)) * (1.0 + (i == 3)) for i in range(len(devs))]
+        bad = jax.make_array_from_single_device_arrays(
+            (8, 8),
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+            [jax.device_put(s, d) for s, d in zip(shards, devs)],
+        )
+        with pytest.raises(AssertionError):
+            sharding.check_replica_consistency({"w": bad}, mesh)
