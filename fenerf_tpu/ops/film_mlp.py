@@ -91,17 +91,18 @@ def film_mlp(
     film_b = []   # (B, H) f32
     for i, lyr in enumerate(params["trunk"]):
         film_w.append((lyr["w"][None] * fg[:, i][:, None, :]).astype(jnp.bfloat16))
-        film_b.append(lyr["b"][None] * fg[:, i] + pg[:, i])
+        film_b.append((lyr["b"][None] * fg[:, i] + pg[:, i])[:, None, :])
     for i, lyr in enumerate(params["color"]):
         film_w.append((lyr["w"][None] * fa[:, i][:, None, :]).astype(jnp.bfloat16))
-        film_b.append(lyr["b"][None] * fa[:, i] + pa[:, i])
+        film_b.append((lyr["b"][None] * fa[:, i] + pa[:, i])[:, None, :])
+    # biases carried as (B, 1, H): TPU blocks need the last two dims to tile
 
     heads = [params["sigma_head"]]
     if cfg.n_labels:
         heads += list(params["label_head"])
     heads.append(params["color_head"])
     head_w = [lyr["w"].astype(jnp.bfloat16) for lyr in heads]
-    head_b = [lyr["b"].astype(jnp.float32) for lyr in heads]
+    head_b = [lyr["b"].astype(jnp.float32)[None, :] for lyr in heads]
 
     pts2 = points.reshape(b * n_padded, 3)
     dirs2 = ray_dirs.reshape(b * n_padded, 3)
@@ -132,12 +133,12 @@ def film_mlp(
         def film(x, li):
             y = jnp.dot(x.astype(jnp.bfloat16), fw[li][0],
                         preferred_element_type=jnp.float32)
-            return _fsin(y + fb[li][0][None, :])
+            return _fsin(y + fb[li][0])
 
         def head(x, hi):
             y = jnp.dot(x.astype(jnp.bfloat16), hw[hi][...],
                         preferred_element_type=jnp.float32)
-            return y + hb[hi][...][None, :]
+            return y + hb[hi][...]
 
         x = pts_ref[...].astype(jnp.float32)
         for li in range(lg):
@@ -152,7 +153,7 @@ def film_mlp(
                             preferred_element_type=jnp.float32)
         y = y + jnp.dot(x.astype(jnp.bfloat16), w0[3 + g:],
                         preferred_element_type=jnp.float32)
-        c = _fsin(y + fb[lg][0][None, :])
+        c = _fsin(y + fb[lg][0])
         for li in range(1, lc):
             c = film(c, lg + li)
 

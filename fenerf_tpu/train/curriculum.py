@@ -73,6 +73,10 @@ class StageMeta:
     background_mask: bool
     channel_seg: int = 18
     mapping_lr_mult: float = 5e-2
+    # rematerialize field activations in the G backward (trades ~30% compute
+    # for O(layers) less activation memory; the reference's batch_split is
+    # the other lever)
+    remat: bool = False
     # extra FieldConfig replacements, e.g. (("hidden_dim", 16),) for tiny
     # test/dry-run instantiations of the full architecture
     field_overrides: tuple = ()
@@ -105,6 +109,7 @@ class StageMeta:
             clamp_mode=self.clamp_mode,
             last_back=self.last_back,
             softmax_label=self.softmax_label,
+            remat=self.remat,
         )
         kw.update(overrides)
         return RenderConfig(**kw)
