@@ -6,18 +6,15 @@ one kernel evaluates trunk (8 FiLM layers) + sigma/label heads + color branch
 (3 FiLM layers) + rgb head for a tile of points, keeping every intermediate
 activation in VMEM. The XLA path writes each (N, H) activation to HBM between
 matmuls (~12 round trips per point); here HBM traffic is points in + channels
-out + weights once per batch element.
+out + weights once.
 
-Key transforms:
-  * FiLM folding: sin(freq*(xW+b)+phase) == sin(x(W*freq) + (b*freq+phase)) -
-    freq/phase are per-(batch, layer, channel) constants, so they fold into
-    per-batch weights W' and biases b' OUTSIDE the kernel, deleting the FiLM
-    multiply-add from the inner loop entirely.
-  * fast sin: range-reduced degree-11 polynomial (ops/fast_math.py) - sin
-    dominates the VPU budget of this network.
+Layout:
+  * point arrays flattened to (B*N, C); the grid walks row tiles; FiLM
+    freq/phase blocks are indexed by tile -> batch element (N % tile == 0).
+  * weights packed bf16 (MXU-native); biases/film/activations f32 (sin of
+    O(30) arguments needs f32 on the VPU).
   * the color-branch concat [ray_dir | grid_feats | x] is realized as
-    row-split matmuls (W' rows [0:3], [3:3+G], [3+G:]) - no concat in VMEM.
-  * weights bf16 (MXU), biases/activations f32.
+    row-split matmuls (W rows [0:3], [3:3+G], [3+G:]) — no concat in VMEM.
 
 Forward-only: training uses the XLA path (autodiff); inference/eval/bench
 route here (fields.apply_field(..., backend='pallas') via RenderConfig).
@@ -34,10 +31,12 @@ from jax.experimental.pallas import tpu as pltpu
 from fenerf_tpu.nn.fields import FieldConfig
 from fenerf_tpu.ops.fast_math import _poly_sin, _reduce
 
-DEFAULT_TILE = 2048
+DEFAULT_TILE = 1024
 
 
 def _fsin(x):
+    """Range-reduced polynomial sine (see ops/fast_math.py) — sin dominates
+    the VPU budget of this kernel."""
     return _poly_sin(_reduce(x))
 
 
@@ -49,6 +48,20 @@ def supported(cfg: FieldConfig) -> bool:
         and not cfg.single_latent
         and not cfg.label_film
     )
+
+
+def _pack(params: Any, cfg: FieldConfig) -> list[jax.Array]:
+    """Kernel operand order: trunk (w,b)*Lg, color (w,b)*Lc, sigma head,
+    label head linears, color head. Weights bf16, biases f32."""
+    ops = []
+    layers = list(params["trunk"]) + list(params["color"])
+    layers.append(params["sigma_head"])
+    if cfg.n_labels:
+        layers += list(params["label_head"])
+    layers.append(params["color_head"])
+    for lyr in layers:
+        ops += [lyr["w"].astype(jnp.bfloat16), lyr["b"].astype(jnp.float32)]
+    return ops
 
 
 def film_mlp(
@@ -86,66 +99,48 @@ def film_mlp(
     fa = (fa * cfg.freq_scale + cfg.freq_offset).reshape(b, lc, h)
     pa = jnp.reshape(pa, (b, lc, h))
 
-    # ---- FiLM folding: per-batch weights W*freq, biases b*freq+phase ----
-    film_w = []   # (B, In_i, H) bf16
-    film_b = []   # (B, H) f32
-    for i, lyr in enumerate(params["trunk"]):
-        film_w.append((lyr["w"][None] * fg[:, i][:, None, :]).astype(jnp.bfloat16))
-        film_b.append((lyr["b"][None] * fg[:, i] + pg[:, i])[:, None, :])
-    for i, lyr in enumerate(params["color"]):
-        film_w.append((lyr["w"][None] * fa[:, i][:, None, :]).astype(jnp.bfloat16))
-        film_b.append((lyr["b"][None] * fa[:, i] + pa[:, i])[:, None, :])
-    # biases carried as (B, 1, H): TPU blocks need the last two dims to tile
-
-    heads = [params["sigma_head"]]
-    if cfg.n_labels:
-        heads += list(params["label_head"])
-    heads.append(params["color_head"])
-    head_w = [lyr["w"].astype(jnp.bfloat16) for lyr in heads]
-    head_b = [lyr["b"].astype(jnp.float32)[None, :] for lyr in heads]
-
     pts2 = points.reshape(b * n_padded, 3)
     dirs2 = ray_dirs.reshape(b * n_padded, 3)
     inputs = [pts2, dirs2]
     if g:
         inputs.append(grid_feats.reshape(b * n_padded, g))
-    inputs += film_w + film_b + head_w + head_b
+    inputs += [fg, pg, fa, pa]
 
+    weights = _pack(params, cfg)
     n_label_lin = (cfg.label_hidden_layers + 1) if cfg.n_labels else 0
     out_dim = cfg.output_dim
     out_pad = ((out_dim + 127) // 128) * 128
-    n_film = lg + lc
-    n_head = len(heads)
 
     def kernel(*refs):
-        i = 0
-        pts_ref = refs[i]; i += 1
-        dirs_ref = refs[i]; i += 1
-        gf_ref = None
         if g:
-            gf_ref = refs[i]; i += 1
-        fw = refs[i:i + n_film]; i += n_film
-        fb = refs[i:i + n_film]; i += n_film
-        hw = refs[i:i + n_head]; i += n_head
-        hb = refs[i:i + n_head]; i += n_head
-        out_ref = refs[i]
+            pts_ref, dirs_ref, gf_ref = refs[0], refs[1], refs[2]
+            fi = 3
+        else:
+            pts_ref, dirs_ref = refs[0], refs[1]
+            gf_ref = None
+            fi = 2
+        fg_ref, pg_ref, fa_ref, pa_ref = refs[fi:fi + 4]
+        wrefs = refs[fi + 4:-1]
+        out_ref = refs[-1]
 
-        def film(x, li):
-            y = jnp.dot(x.astype(jnp.bfloat16), fw[li][0],
+        def lin(x_f32, wi):
+            w = wrefs[2 * wi][...]
+            bias = wrefs[2 * wi + 1][...]
+            y = jnp.dot(x_f32.astype(jnp.bfloat16), w,
                         preferred_element_type=jnp.float32)
-            return _fsin(y + fb[li][0])
+            return y + bias[None, :]
 
-        def head(x, hi):
-            y = jnp.dot(x.astype(jnp.bfloat16), hw[hi][...],
-                        preferred_element_type=jnp.float32)
-            return y + hb[hi][...]
+        def film(x, wi, freq_ref, phase_ref, li):
+            return _fsin(freq_ref[0, li][None, :] * lin(x, wi)
+                         + phase_ref[0, li][None, :])
 
         x = pts_ref[...].astype(jnp.float32)
-        for li in range(lg):
-            x = film(x, li)
+        for i in range(lg):
+            x = film(x, i, fg_ref, pg_ref, i)
 
         # color branch input rows: [ray_dir(3) | grid(G) | x(H)]
-        w0 = fw[lg][0]
+        w0 = wrefs[2 * lg][...]
+        b0 = wrefs[2 * lg + 1][...]
         y = jnp.dot(dirs_ref[...].astype(jnp.bfloat16), w0[:3],
                     preferred_element_type=jnp.float32)
         if g:
@@ -153,20 +148,22 @@ def film_mlp(
                             preferred_element_type=jnp.float32)
         y = y + jnp.dot(x.astype(jnp.bfloat16), w0[3 + g:],
                         preferred_element_type=jnp.float32)
-        c = _fsin(y + fb[lg][0])
-        for li in range(1, lc):
-            c = film(c, lg + li)
+        c = _fsin(fa_ref[0, 0][None, :] * (y + b0[None, :])
+                  + pa_ref[0, 0][None, :])
+        for i in range(1, lc):
+            c = film(c, lg + i, fa_ref, pa_ref, i)
 
-        sigma = head(x, 0)
+        hbase = lg + lc
+        sigma = lin(x, hbase)
         outs = []
         if n_label_lin:
             lbl = x
             for j in range(n_label_lin):
-                lbl = head(lbl, 1 + j)
+                lbl = lin(lbl, hbase + 1 + j)
             if cfg.label_sigmoid:
                 lbl = jax.nn.sigmoid(lbl)
             outs.append(lbl)
-        rgb = head(c, 1 + n_label_lin)
+        rgb = lin(c, hbase + 1 + n_label_lin)
         if cfg.rgb_sigmoid:
             rgb = jax.nn.sigmoid(rgb)
         outs.append(rgb)
@@ -174,23 +171,19 @@ def film_mlp(
         res = jnp.concatenate(outs, axis=-1)
         out_ref[...] = jnp.pad(res, ((0, 0), (0, out_pad - out_dim)))
 
-    row_spec = lambda c_: pl.BlockSpec(
-        (tile, c_), lambda t: (t, 0), memory_space=pltpu.VMEM)
-    batch_spec = lambda shape: pl.BlockSpec(
-        (1,) + shape[1:],
-        lambda t: (t // tiles_per_b,) + (0,) * (len(shape) - 1),
+    row_spec = lambda c: pl.BlockSpec(
+        (tile, c), lambda t: (t, 0), memory_space=pltpu.VMEM)
+    film_spec = lambda l: pl.BlockSpec(
+        (1, l, h), lambda t: (t // tiles_per_b, 0, 0),
         memory_space=pltpu.VMEM)
-    const_spec = lambda w: pl.BlockSpec(
-        w.shape, (lambda t: tuple(0 for _ in w.shape)),
-        memory_space=pltpu.VMEM)
-
     in_specs = [row_spec(3), row_spec(3)]
     if g:
         in_specs.append(row_spec(g))
-    in_specs += [batch_spec(w.shape) for w in film_w]
-    in_specs += [batch_spec(bb.shape) for bb in film_b]
-    in_specs += [const_spec(w) for w in head_w]
-    in_specs += [const_spec(bb) for bb in head_b]
+    in_specs += [film_spec(lg), film_spec(lg), film_spec(lc), film_spec(lc)]
+    for w in weights:
+        in_specs.append(pl.BlockSpec(
+            w.shape, (lambda t: (0, 0)) if w.ndim == 2 else (lambda t: (0,)),
+            memory_space=pltpu.VMEM))
 
     flops_per_pt = 2 * h * (
         h * (lg - 1 + lc - 1) + 6 + g
@@ -208,6 +201,6 @@ def film_mlp(
             bytes_accessed=b * n * (6 + g + out_pad) * 4,
             transcendentals=b * n * h * (lg + lc),
         ),
-    )(*inputs)
+    )(*inputs, *weights)
     out = out[:, :out_dim].reshape(b, n_padded, out_dim)
     return out[:, :n] if pad_n else out
