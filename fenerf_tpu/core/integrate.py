@@ -156,10 +156,16 @@ def sample_pdf(
     below = jnp.clip(inds - 1, 0, m)
     above = jnp.clip(inds, 0, m)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    # per-row picks as one-hot contractions — take_along_axis lowers to slow
+    # per-element gathers on TPU; these are tiny (K x M) VPU/MXU ops instead
+    iota_m = jax.lax.broadcasted_iota(jnp.int32, (1, m + 1), 1)
+    oh_below = (below[..., :, None] == iota_m).astype(cdf.dtype)
+    oh_above = (above[..., :, None] == iota_m).astype(cdf.dtype)
+    pick = lambda oh, v: jnp.einsum("...km,...m->...k", oh, v)
+    cdf_below = pick(oh_below, cdf)
+    cdf_above = pick(oh_above, cdf)
+    bins_below = pick(oh_below, bins)
+    bins_above = pick(oh_above, bins)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < eps, 1.0, denom)
@@ -174,12 +180,28 @@ def merge_sorted(
 ) -> tuple[jax.Array, jax.Array]:
     """Depth-sort the union of fine+coarse samples per ray.
 
-    Reference concatenates [fine, coarse] then torch.sort (generators.py:508-512).
-    Here a single lax.sort co-sorts z and channels (stable, matches gather).
+    Reference concatenates [fine, coarse] then torch.sort + gather
+    (generators.py:508-512). On TPU both sort and take_along_axis lower to
+    slow per-element gathers, so the permutation is realized arithmetically:
+    stable ranks by comparison counting (VPU), then a one-hot permutation
+    matrix applied with a batched matmul (MXU). Identical output to
+    stable-argsort + gather.
     """
-    all_z = jnp.concatenate([fine_z, coarse_z], axis=-1)
+    all_z = jnp.concatenate([fine_z, coarse_z], axis=-1)      # (..., R, S)
     all_out = jnp.concatenate([fine_out, coarse_out], axis=-2)
-    order = jnp.argsort(all_z, axis=-1, stable=True)
-    z_sorted = jnp.take_along_axis(all_z, order, axis=-1)
-    out_sorted = jnp.take_along_axis(all_out, order[..., None], axis=-2)
+    s = all_z.shape[-1]
+    zi = all_z[..., :, None]   # (..., S, 1)
+    zj = all_z[..., None, :]   # (..., 1, S)
+    # stable rank: strictly-smaller count + equal-and-earlier count
+    lower = (zj < zi).astype(jnp.int32)
+    j_lt_i = (jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+              < jax.lax.broadcasted_iota(jnp.int32, (s, s), 0))
+    ties = ((zj == zi) & j_lt_i).astype(jnp.int32)
+    rank = (lower + ties).sum(-1)                              # (..., S)
+    # permutation one-hot: P[r, i] = 1 where rank_i == r
+    perm = (rank[..., None, :]
+            == jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
+            ).astype(all_out.dtype)                            # (..., S, S)
+    z_sorted = jnp.einsum("...ri,...i->...r", perm, all_z)
+    out_sorted = jnp.einsum("...ri,...ic->...rc", perm, all_out)
     return out_sorted, z_sorted
