@@ -123,6 +123,42 @@ class TestRenderParityDeterministic:
         )
 
 
+class TestSingleLatentParity:
+    def test_implicit_generator3d_forward(self):
+        """pi-GAN single-latent path vs reference ImplicitGenerator3d
+        (generators.py:13-431), deterministic mode."""
+        torch.manual_seed(0)
+        fcfg = fields.get_config("SPATIALSIRENBASELINE", z_geo_dim=16,
+                                 z_app_dim=16, hidden_dim=32)
+        tg = ref_gen.ImplicitGenerator3d(
+            lambda **kw: ref_siren.SPATIALSIRENBASELINE(
+                **{**kw, "hidden_dim": 32}),
+            z_dim=16, output_dim=4)
+        tg.device = torch.device("cpu")
+        tg.siren.device = torch.device("cpu")
+        tg.eval()
+        params = field_from_torch(tg.siren.state_dict(), fcfg)
+        z = torch.randn(2, 16)
+        orig_rand = torch.rand
+        try:
+            torch.rand = lambda *s, **kw: torch.full(
+                s[0] if len(s) == 1 and not isinstance(s[0], int) else s,
+                0.5, **kw)
+            with torch.no_grad():
+                ref_pix, ref_pos = tg(z, **DET_META)
+        finally:
+            torch.rand = orig_rand
+        rcfg = gen.RenderConfig(
+            img_size=16, num_steps=6, h_stddev=0.0, v_stddev=0.0,
+            sample_dist=None, hierarchical=False, perturb=False)
+        out = gen.render_from_z(
+            params, fcfg, rcfg, jax.random.key(0),
+            jnp.asarray(z.numpy()), jnp.asarray(z.numpy()), noise_std=0.0)
+        assert out["pixels"].shape == (2, 3, 16, 16)
+        np.testing.assert_allclose(
+            np.asarray(out["pixels"]), ref_pix.numpy(), atol=2e-3, rtol=1e-3)
+
+
 class TestRenderProperties:
     def test_ray_chunking_is_exact(self):
         _, params, fcfg = _small_models()
