@@ -266,5 +266,21 @@ CURRICULA: dict[str, TrainConfig] = {
 }
 
 
+CURRICULA["smoke"] = TrainConfig(
+    # CI-sized curriculum exercising a real stage boundary (img/batch change
+    # -> recompile + dataloader rebuild + fade-in reset) in seconds
+    name="smoke",
+    stages=(
+        (0, dict(batch_size=8, num_steps=2, img_size=8, batch_split=1,
+                 gen_lr=5e-5, disc_img_lr=2e-4, disc_seg_lr=1e-4)),
+        (2, dict(batch_size=8, num_steps=3, img_size=16, batch_split=2,
+                 gen_lr=2e-5, disc_img_lr=1e-4, disc_seg_lr=5e-5)),
+    ),
+    end_step=10,
+    defaults=dict(_DOUBLE_DEFAULTS, model="SIRENBASELINESEMANTICDISENTANGLE",
+                  fade_steps=2),
+)
+
+
 def get_curriculum(name: str) -> TrainConfig:
     return CURRICULA[name]

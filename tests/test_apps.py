@@ -147,3 +147,35 @@ class TestTrainCli:
         assert os.path.exists(os.path.join(out, "generator.npz"))
         lines = open(os.path.join(out, "metrics.jsonl")).read().strip()
         assert '"g_loss"' in lines
+
+
+class TestStageTransition:
+    def test_train_crosses_stage_boundary(self, tmp_path):
+        """Step 0-1 at 8px/bs8 then 2-3 at 16px: recompile, dataloader
+        rebuild, fade-in reset, optimizer state carry-over."""
+        from fenerf_tpu.apps.train import main
+        root = tmp_path / "data"
+        (root / "celebahq_mask_img").mkdir(parents=True)
+        (root / "celebahq_mask_mask").mkdir()
+        rng = np.random.RandomState(0)
+        for i in range(10):
+            Image.fromarray((rng.rand(512, 512, 3) * 255).astype(np.uint8)
+                            ).save(root / "celebahq_mask_img" / f"{i}.jpg")
+            Image.fromarray(rng.randint(0, 19, (512, 512)).astype(np.uint8),
+                            mode="L").save(
+                root / "celebahq_mask_mask" / f"{i}.png")
+        out = str(tmp_path / "run")
+        main(["--curriculum", "smoke", "--output_dir", out,
+              "--data_root", str(root), "--total_steps", "4",
+              "--eval_freq", "0", "--sample_interval", "1000",
+              "--model_save_interval", "1000", "--log_every", "1",
+              "--field_overrides",
+              json.dumps({"hidden_dim": 16, "map_hidden_dim": 16}),
+              "--stage_overrides",
+              json.dumps({"latent_geo_dim": 8, "latent_app_dim": 8})])
+        lines = [json.loads(l) for l in
+                 open(os.path.join(out, "metrics.jsonl"))
+                 if '"step"' in l]
+        steps = [l["step"] for l in lines]
+        assert 0 in steps and 3 in steps
+        assert all(np.isfinite(l["g_loss"]) for l in lines)
