@@ -168,9 +168,12 @@ def discriminator_from_torch(sd: Mapping[str, Any], n_blocks: int = 7) -> dict:
     (/root/reference/discriminators/sgdiscriminators.py:365-419)."""
     blocks = []
     for i in range(n_blocks):
+        # CoordConv blocks nest the conv under .conv; StridedDiscriminator
+        # blocks hold plain Conv2d (sgdiscriminators.py:33-53)
+        sub = ".conv" if f"layers.{i}.network.0.conv.weight" in sd else ""
         blocks.append({
-            "conv1": _conv(sd, f"layers.{i}.network.0.conv"),
-            "conv2": _conv(sd, f"layers.{i}.network.2.conv"),
+            "conv1": _conv(sd, f"layers.{i}.network.0{sub}"),
+            "conv2": _conv(sd, f"layers.{i}.network.2{sub}"),
             "proj": _conv(sd, f"layers.{i}.proj"),
         })
     from_rgb = []

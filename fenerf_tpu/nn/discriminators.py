@@ -104,6 +104,110 @@ def _res_block(x, p, coord_conv=True):
     return (h + skip) / math.sqrt(2.0)
 
 
+# ---------------------------------------------------------------------------
+# SPADE-style patch discriminators (reference sgdiscriminators.py:422-521 —
+# present in the repo, not wired into the shipped trainer)
+# ---------------------------------------------------------------------------
+
+def init_nlayer_discriminator(key, input_nc=22, ndf=64, n_layers=3,
+                              dtype=jnp.float32) -> Params:
+    """NLayerDiscriminator: 4x4 patchGAN convs; middle layers use the
+    reference default norm 'spectralinstance' = spectral-normalized bias-less
+    conv + InstanceNorm2d(affine=False) (sgdiscriminators.py:523-554)."""
+    keys = jax.random.split(key, n_layers + 2)
+    layers = []
+    nf = ndf
+    layers.append({"conv": winit.conv2d(keys[0], input_nc, ndf, 4, dtype=dtype),
+                   "stride": 2, "sn": False})
+    for i in range(1, n_layers):
+        nf_prev, nf = nf, min(nf * 2, 512)
+        layers.append({"conv": winit.conv2d(keys[i], nf_prev, nf, 4,
+                                            dtype=dtype),
+                       "stride": 2, "sn": True,
+                       "u": jax.random.normal(jax.random.fold_in(keys[i], 7),
+                                              (nf,), dtype)})
+    nf_prev, nf = nf, min(nf * 2, 512)
+    layers.append({"conv": winit.conv2d(keys[n_layers], nf_prev, nf, 4,
+                                        dtype=dtype),
+                   "stride": 1, "sn": True,
+                   "u": jax.random.normal(
+                       jax.random.fold_in(keys[n_layers], 7), (nf,), dtype)})
+    layers.append({"conv": winit.conv2d(keys[-1], nf, 1, 4, dtype=dtype),
+                   "stride": 1, "sn": False})
+    return {"layers": layers}
+
+
+def _spectral_normalize(w, u, v=None, n_iters: int = 1):
+    """Spectral normalization matching torch spectral_norm: training does
+    power iterations from u; eval (v given, n_iters=0) reuses stored u, v."""
+    c_out = w.shape[-1]
+    # torch views the (out, in, kh, kw) weight as (out, -1); our HWIO layout
+    # must be permuted to match that flattening order
+    mat = w.transpose(3, 2, 0, 1).reshape(c_out, -1)
+    if v is None:
+        for _ in range(max(n_iters, 1)):
+            v = mat.T @ u
+            v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+            u = mat @ v
+            u = u / jnp.maximum(jnp.linalg.norm(u), 1e-12)
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
+    sigma = u @ (mat @ v)
+    return w / sigma, u
+
+
+def apply_nlayer_discriminator(params: Params, x: jax.Array,
+                               get_interm: bool = False):
+    """(B, C, H, W) -> patch logits (and intermediate features if asked)."""
+    h = x.transpose(0, 2, 3, 1)
+    feats = []
+    n = len(params["layers"])
+    for i, lyr in enumerate(params["layers"]):
+        p = lyr["conv"]
+        w = p["w"]
+        if lyr["sn"]:
+            w, _ = _spectral_normalize(w, lyr["u"], lyr.get("v"))
+        h = jax.lax.conv_general_dilated(
+            h, w, (lyr["stride"],) * 2, ((2, 2), (2, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["b"]
+        if lyr["sn"]:
+            # InstanceNorm2d(affine=False): per-(sample, channel) spatial norm
+            mean = h.mean(axis=(1, 2), keepdims=True)
+            var = ((h - mean) ** 2).mean(axis=(1, 2), keepdims=True)
+            h = (h - mean) * jax.lax.rsqrt(var + 1e-5)
+        if i < n - 1:
+            h = jax.nn.leaky_relu(h, 0.2)
+        feats.append(h.transpose(0, 3, 1, 2))
+    return feats if get_interm else feats[-1]
+
+
+def init_multiscale_discriminator(key, input_nc=22, ndf=64, n_layers=3,
+                                  num_d=3, dtype=jnp.float32) -> Params:
+    keys = jax.random.split(key, num_d)
+    return {"scales": [init_nlayer_discriminator(k, input_nc, ndf, n_layers,
+                                                 dtype) for k in keys]}
+
+
+def apply_multiscale_discriminator(params: Params, x: jax.Array,
+                                   get_interm: bool = True):
+    """Reference MultiscaleDiscriminator (:422-465): run each patchGAN on a
+    progressively 2x avg-pooled input (finest scale first in outputs)."""
+    results = []
+    cur = x
+    for i, sub in enumerate(params["scales"]):
+        results.append(apply_nlayer_discriminator(sub, cur, get_interm))
+        if i != len(params["scales"]) - 1:
+            nhwc = cur.transpose(0, 2, 3, 1)
+            pooled = jax.lax.reduce_window(
+                nhwc, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 2, 2, 1),
+                [(0, 0), (1, 1), (1, 1), (0, 0)])
+            counts = jax.lax.reduce_window(
+                jnp.ones_like(nhwc), 0.0, jax.lax.add, (1, 3, 3, 1),
+                (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)])
+            cur = (pooled / counts).transpose(0, 3, 1, 2)
+    return results
+
+
 def apply_discriminator(
     params: Params,
     cfg: DiscriminatorConfig,

@@ -108,3 +108,77 @@ class TestDiscriminatorProperties:
         g = jax.grad(f)(x)
         assert g.shape == x.shape
         assert float(jnp.abs(g).sum()) > 0
+
+
+class TestStridedDiscriminator:
+    def test_parity_vs_reference(self):
+        torch.manual_seed(2)
+        tm = ref_d.StridedDiscriminator()
+        tm.eval()
+        cfg = disc.DiscriminatorConfig(latent_geo_dim=0, latent_app_dim=0,
+                                       coord_conv=False)
+        from fenerf_tpu.compat.torch_import import discriminator_from_torch
+        params = discriminator_from_torch(tm.state_dict())
+        x = np.random.RandomState(5).randn(2, 3, 32, 32).astype(np.float32)
+        with torch.no_grad():
+            ref_score, _, _ = tm(torch.tensor(x), 1.0)
+        score, g, a, p = disc.apply_discriminator(params, cfg,
+                                                  jnp.asarray(x), 1.0)
+        assert g is None and a is None and p is None
+        np.testing.assert_allclose(np.asarray(score), ref_score.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+
+
+class TestPatchDiscriminators:
+    def test_nlayer_parity(self):
+        torch.manual_seed(3)
+        tm = ref_d.NLayerDiscriminator(input_nc=7, ndf=16, n_layers=3,
+                                       getIntermFeat=True)
+        tm.eval()
+        # convert: model{i}.0 is the conv (possibly wrapped in a Sequential
+        # with a norm); spectral_norm stores weight_orig + weight_u
+        sd = tm.state_dict()
+        from fenerf_tpu.nn.discriminators import (apply_nlayer_discriminator,
+                                                  init_nlayer_discriminator)
+        params = init_nlayer_discriminator(jax.random.key(0), input_nc=7,
+                                           ndf=16, n_layers=3)
+        def conv_from(prefix):
+            if f"{prefix}.weight_orig" in sd:
+                w = sd[f"{prefix}.weight_orig"].numpy()
+                u = sd[f"{prefix}.weight_u"].numpy()
+                v = sd[f"{prefix}.weight_v"].numpy()
+            else:
+                w = sd[f"{prefix}.weight"].numpy()
+                u = v = None
+            b = sd.get(f"{prefix}.bias")
+            b = b.numpy() if b is not None else np.zeros(w.shape[3] if False else w.shape[0], np.float32)
+            return w.transpose(2, 3, 1, 0), b, u, v
+        prefixes = ["model0.0", "model1.0.0", "model2.0.0", "model3.0.0",
+                    "model4.0"]
+        for lyr, pre in zip(params["layers"], prefixes):
+            w, b, u, v = conv_from(pre)
+            lyr["conv"]["w"] = jnp.asarray(w)
+            lyr["conv"]["b"] = jnp.asarray(b)
+            if u is not None:
+                assert lyr["sn"], pre
+                lyr["u"] = jnp.asarray(u)
+                lyr["v"] = jnp.asarray(v)  # eval-mode sigma from stored u, v
+        x = np.random.RandomState(6).randn(1, 7, 64, 64).astype(np.float32)
+        with torch.no_grad():
+            ref_feats = tm(torch.tensor(x))
+        ours = apply_nlayer_discriminator(params, jnp.asarray(x),
+                                          get_interm=True)
+        assert len(ours) == len(ref_feats)
+        for a, b in zip(ours, ref_feats):
+            np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=5e-3,
+                                       rtol=1e-2)
+
+    def test_multiscale_shapes(self):
+        from fenerf_tpu.nn.discriminators import (
+            apply_multiscale_discriminator, init_multiscale_discriminator)
+        params = init_multiscale_discriminator(jax.random.key(1), input_nc=4,
+                                               ndf=8, num_d=2)
+        x = jnp.zeros((1, 4, 64, 64))
+        outs = apply_multiscale_discriminator(params, x)
+        assert len(outs) == 2
+        assert len(outs[0]) == 5  # n_layers + 2 feature maps
