@@ -63,3 +63,35 @@ class TestImage:
         x = np.array([[-1.0, 0.0, 1.0]])
         u = to_uint8(x, normalize=False)
         np.testing.assert_array_equal(u, [[0, 128, 255]])
+
+
+class TestAlign:
+    def test_alignment_quad_geometry(self):
+        from fenerf_tpu.utils.align import alignment_quad
+        # synthetic frontal landmarks: eyes at (80,100)/(120,100), mouth ~(100,150)
+        lm = np.zeros((68, 2))
+        lm[36:42] = [80, 100]
+        lm[42:48] = [120, 100]
+        lm[48] = [85, 150]
+        lm[54] = [115, 150]
+        quad, qsize = alignment_quad(lm)
+        assert quad.shape == (4, 2) and qsize > 0
+        center = quad.mean(axis=0)
+        np.testing.assert_allclose(center, [100, 105], atol=1e-6)
+        # square-ish quad
+        side1 = np.linalg.norm(quad[1] - quad[0])
+        side2 = np.linalg.norm(quad[2] - quad[1])
+        np.testing.assert_allclose(side1, side2, rtol=1e-6)
+
+    def test_align_face_runs(self):
+        from PIL import Image
+        from fenerf_tpu.utils.align import align_face
+        rng = np.random.RandomState(0)
+        img = Image.fromarray((rng.rand(256, 256, 3) * 255).astype(np.uint8))
+        lm = np.zeros((68, 2))
+        lm[36:42] = [100, 110]
+        lm[42:48] = [150, 110]
+        lm[48] = [110, 170]
+        lm[54] = [145, 170]
+        out = align_face(img, lm, output_size=64, transform_size=64)
+        assert out.size == (64, 64)
