@@ -27,7 +27,7 @@ BASELINE_FILE = os.path.join(REPO, "BASELINE_MEASURED.json")
 
 IMG = 128
 STEPS = 24
-BATCH = int(os.environ.get("FENERF_BENCH_BATCH", "8"))
+BATCH = int(os.environ.get("FENERF_BENCH_BATCH", "16"))
 WARMUP = 2
 ITERS = 8
 RAYS_PER_IMG = IMG * IMG
