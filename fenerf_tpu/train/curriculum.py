@@ -77,6 +77,9 @@ class StageMeta:
     # for O(layers) less activation memory; the reference's batch_split is
     # the other lever)
     remat: bool = False
+    # DiffAugment policy applied to BOTH real and fake discriminator inputs
+    # ('' = off; the reference ships diff_augment.py unwired — SURVEY §2.1)
+    diff_augment_policy: str = ""
     # extra FieldConfig replacements, e.g. (("hidden_dim", 16),) for tiny
     # test/dry-run instantiations of the full architecture
     field_overrides: tuple = ()

@@ -193,8 +193,14 @@ def _g_loss(
     pixels, positions = out["pixels"], out["position"]
     has_seg = meta.output_dim > 4
     fake_rgb = pixels[:, -3:]
+    d_img_in = fake_rgb
+    if meta.diff_augment_policy:
+        from fenerf_tpu.train.diff_augment import diff_augment
+
+        d_img_in = diff_augment(jax.random.fold_in(key, 77), fake_rgb,
+                                meta.diff_augment_policy)
     img_s, img_geo, img_app, img_pos = disc.apply_discriminator(
-        d_img_params, meta.disc_img_config(), fake_rgb, scal.alpha)
+        d_img_params, meta.disc_img_config(), d_img_in, scal.alpha)
 
     def identity(geo, app, pos):
         return (
@@ -239,7 +245,16 @@ def train_step(
     has_seg = meta.output_dim > 4
     b = real_imgs.shape[0]
 
-    (k_zi, k_fi, k_zs, k_fs, k_zg, k_fg) = jax.random.split(key, 6)
+    (k_zi, k_fi, k_zs, k_fs, k_zg, k_fg, k_aug) = jax.random.split(key, 7)
+
+    if meta.diff_augment_policy:
+        # augment the IMAGE discriminator's inputs only (reals + fakes with
+        # the same key); the seg path needs pixel-aligned masks
+        from fenerf_tpu.train.diff_augment import diff_augment
+
+        aug = lambda k, x: diff_augment(k, x, meta.diff_augment_policy)
+    else:
+        aug = lambda k, x: x
 
     def draw_z(k):
         kg, ka = jax.random.split(k)
@@ -260,7 +275,8 @@ def train_step(
                       scal.noise_std))
     d_img_loss, d_img_grads = jax.value_and_grad(_d_loss)(
         state.d_img_params, meta.disc_img_config(), meta,
-        real_imgs, fake_pix[:, -3:], zg, za, fake_pos, scal.alpha)
+        aug(k_aug, real_imgs), aug(k_aug, fake_pix[:, -3:]), zg, za,
+        fake_pos, scal.alpha)
     tx_img = make_d_optimizer(meta, "img")
     upd, opt_img = tx_img.update(d_img_grads, state.opt_img,
                                  state.d_img_params)

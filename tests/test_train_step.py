@@ -164,3 +164,22 @@ class TestReplicaConsistency:
         )
         with pytest.raises(AssertionError):
             sharding.check_replica_consistency({"w": bad}, mesh)
+
+
+class TestDiffAugmentWiring:
+    def test_step_with_policy(self):
+        meta = tiny_meta(batch_size=4, batch_split=1, img_size=16,
+                         num_steps=2)
+        meta = dataclasses.replace(meta,
+                                   diff_augment_policy="color,cutout")
+        state = looplib.init_train_state(jax.random.key(0), meta)
+        rng = np.random.RandomState(0)
+        scal = looplib.StepScalars(alpha=jnp.asarray(1.0),
+                                   noise_std=jnp.asarray(0.0),
+                                   topk_frac=jnp.asarray(1.0))
+        new_state, metrics = looplib.jit_train_step(meta)(
+            state,
+            jnp.asarray(rng.randn(4, 3, 16, 16).astype(np.float32)),
+            jnp.asarray(rng.randn(4, 18, 16, 16).astype(np.float32)),
+            jax.random.key(1), scal)
+        assert np.isfinite(float(metrics["g_loss"]))
