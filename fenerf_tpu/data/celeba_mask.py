@@ -53,7 +53,8 @@ class CelebAMaskDataset:
     def __init__(self, dataset_path: str, img_size: int,
                  background_mask: bool = True, seg_channels: int = 18,
                  img_glob: str = "celebahq_mask_img/*.jpg",
-                 mask_glob: str = "celebahq_mask_mask/*.png"):
+                 mask_glob: str = "celebahq_mask_mask/*.png",
+                 use_native: str | bool = "auto"):
         self.images = sorted(glob.glob(os.path.join(dataset_path, img_glob)))
         self.masks = sorted(glob.glob(os.path.join(dataset_path, mask_glob)))
         assert len(self.images) == len(self.masks), (
@@ -62,11 +63,34 @@ class CelebAMaskDataset:
         self.img_size = img_size
         self.background_mask = background_mask
         self.seg_channels = seg_channels
+        if use_native == "auto":
+            from fenerf_tpu.data import native_loader
+
+            self.use_native = native_loader.available()
+        else:
+            self.use_native = bool(use_native)
 
     def __len__(self):
         return len(self.images)
 
+    def _finish(self, x_hw3_u8, mask_hw_u8, flip):
+        x = np.asarray(x_hw3_u8, dtype=np.float32) / 255.0
+        x = (x.transpose(2, 0, 1) - 0.5) / 0.5
+        m = np.asarray(mask_hw_u8)
+        if flip:
+            x = x[:, :, ::-1].copy()
+            m = m[:, ::-1].copy()
+        labels = one_hot_labels(m, self.seg_channels) * 2.0 - 1.0
+        return x, labels
+
     def __getitem__(self, index: int, flip: bool = False):
+        if self.use_native:
+            from fenerf_tpu.data import native_loader
+
+            img, mask = native_loader.preprocess_pair(
+                self.images[index], self.masks[index], self.img_size,
+                self.background_mask)
+            return self._finish(img, mask, flip)
         img = Image.open(self.images[index]).convert("RGB")
         mask = Image.open(self.masks[index]).convert("L")
         if self.background_mask:
@@ -77,14 +101,7 @@ class CelebAMaskDataset:
             img = Image.fromarray(arr)
         img = _prep(img, self.img_size, nearest=False)
         mask = _prep(mask, self.img_size, nearest=True)
-        x = np.asarray(img, dtype=np.float32) / 255.0
-        x = (x.transpose(2, 0, 1) - 0.5) / 0.5
-        m = np.asarray(mask)
-        if flip:
-            x = x[:, :, ::-1].copy()
-            m = m[:, ::-1].copy()
-        labels = one_hot_labels(m, self.seg_channels) * 2.0 - 1.0
-        return x, labels
+        return self._finish(np.asarray(img), np.asarray(mask), flip)
 
 
 class CelebADataset:
