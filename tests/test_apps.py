@@ -179,3 +179,35 @@ class TestStageTransition:
         steps = [l["step"] for l in lines]
         assert 0 in steps and 3 in steps
         assert all(np.isfinite(l["g_loss"]) for l in lines)
+
+
+class TestResume:
+    def test_load_dir_resumes_step(self, tmp_path):
+        from fenerf_tpu.apps.train import main
+        root = tmp_path / "data"
+        (root / "celebahq_mask_img").mkdir(parents=True)
+        (root / "celebahq_mask_mask").mkdir()
+        rng = np.random.RandomState(0)
+        for i in range(8):
+            Image.fromarray((rng.rand(512, 512, 3) * 255).astype(np.uint8)
+                            ).save(root / "celebahq_mask_img" / f"{i}.jpg")
+            Image.fromarray(rng.randint(0, 19, (512, 512)).astype(np.uint8),
+                            mode="L").save(
+                root / "celebahq_mask_mask" / f"{i}.png")
+        out = str(tmp_path / "run")
+        common = ["--curriculum", "CelebA_double_semantic",
+                  "--output_dir", out, "--data_root", str(root),
+                  "--eval_freq", "0", "--sample_interval", "1000",
+                  "--model_save_interval", "2", "--log_every", "1",
+                  "--field_overrides",
+                  json.dumps({"hidden_dim": 16, "map_hidden_dim": 16}),
+                  "--stage_overrides",
+                  json.dumps({"batch_size": 8, "batch_split": 1,
+                              "img_size": 8, "num_steps": 2,
+                              "latent_geo_dim": 8, "latent_app_dim": 8})]
+        main(common + ["--total_steps", "2"])
+        main(common + ["--total_steps", "4", "--load_dir", out])
+        lines = [json.loads(l) for l in
+                 open(os.path.join(out, "metrics.jsonl"))]
+        steps = [l["step"] for l in lines]
+        assert 2 in steps and 3 in steps  # resumed past the saved step
