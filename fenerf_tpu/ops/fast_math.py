@@ -29,7 +29,9 @@ _C11 = (0.9999997068716395, -0.16666577176368283, 0.008332557849165041,
         -2.053387476864839e-08)
 
 
-def _poly_sin(r: jax.Array, coeffs=_C11) -> jax.Array:
+def _poly_sin(r: jax.Array, coeffs=_C9) -> jax.Array:
+    # degree 9: max |err| 1.7e-5 — an order below bf16 activation noise and
+    # one FMA cheaper than degree 11 on the VPU-bound hot path
     r2 = r * r
     acc = jnp.asarray(coeffs[-1], r.dtype)
     for c in coeffs[-2::-1]:
