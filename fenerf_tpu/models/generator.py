@@ -23,7 +23,6 @@ integrate -> NCHW pixels in [-1, 1].
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any
 
 import jax

@@ -21,7 +21,6 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from fenerf_tpu.nn import init as winit
 from fenerf_tpu.ops.upfirdn2d import (blur, fused_leaky_relu, upsample2d)
 
 Params = Any

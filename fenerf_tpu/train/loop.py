@@ -24,7 +24,6 @@ XLA inserts the gradient all-reduces (see train/sharding.py).
 """
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Any, NamedTuple
 

@@ -45,8 +45,6 @@ def check_replica_consistency(tree, mesh: Mesh, atol: float = 0.0) -> None:
     analogue of the reference's (vendored, uncalled) check_ddp_consistency
     (siren/torch_utils/misc.py:178-190). Useful after manual device_puts or
     host-side state surgery; SPMD programs cannot diverge on their own."""
-    import jax.numpy as jnp
-
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         if not hasattr(leaf, "addressable_shards"):
             continue
