@@ -31,6 +31,8 @@ def main(argv=None):
     p.add_argument("--no_ema", dest="use_ema", action="store_false")
     p.add_argument("--ray_chunk", type=int, default=4096)
     p.add_argument("--fov", type=float, default=12.0)
+    p.add_argument("--fill_color", default="black",
+                   choices=["black", "white", "grey", "light_grey"])
     p.add_argument("--fill_mode", default="seg_padding_background")
     args = p.parse_args(argv)
 
@@ -53,7 +55,7 @@ def main(argv=None):
 
     rcfg = gen.RenderConfig(
         img_size=args.image_size, num_steps=steps, hierarchical=True,
-        perturb=True, fill_mode=args.fill_mode, fov=args.fov,
+        perturb=True, fill_mode=args.fill_mode, fill_color=args.fill_color, fov=args.fov,
         ray_chunk=args.ray_chunk, compute_dtype="bfloat16",
     )
 

@@ -32,6 +32,8 @@ def main(argv=None):
     p.add_argument("--no_ema", dest="use_ema", action="store_false")
     p.add_argument("--save_frames", action="store_true")
     p.add_argument("--ray_chunk", type=int, default=4096)
+    p.add_argument("--fill_color", default="black",
+                   choices=["black", "white", "grey", "light_grey"])
     p.add_argument("--fill_mode", default="eval_seg_padding_background")
     args = p.parse_args(argv)
 
@@ -61,7 +63,7 @@ def main(argv=None):
 
     rcfg = gen.RenderConfig(
         img_size=args.image_size, num_steps=args.num_steps,
-        hierarchical=True, fill_mode=args.fill_mode,
+        hierarchical=True, fill_mode=args.fill_mode, fill_color=args.fill_color,
         ray_chunk=args.ray_chunk, compute_dtype="bfloat16",
     )
 

@@ -44,7 +44,16 @@ def main(argv=None):
     p.add_argument("--profile_steps", default="",
                    help="'start:stop' step range to capture a jax.profiler "
                         "trace into <output_dir>/profile")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() — the TPU-pod "
+                        "replacement for init_process_group (launch this CLI "
+                        "once per host; coordinator from TPU env)")
     args = p.parse_args(argv)
+
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
 
     import jax
     import jax.numpy as jnp
