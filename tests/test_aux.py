@@ -209,3 +209,18 @@ class TestRematRender:
             p, cfg, r1, jax.random.key(1), zg, za)["pixels"].sum())(params)
         assert all(bool(jnp.all(jnp.isfinite(x)))
                    for x in jax.tree_util.tree_leaves(g))
+
+
+class TestFastMath:
+    def test_fast_sin_accuracy(self):
+        from fenerf_tpu.ops.fast_math import fast_sin
+        x = jnp.linspace(-200.0, 200.0, 200001)
+        err = jnp.abs(fast_sin(x) - jnp.sin(x))
+        assert float(err.max()) < 5e-5
+
+    def test_fast_sin_gradient(self):
+        from fenerf_tpu.ops.fast_math import fast_sin
+        x = jnp.linspace(-10.0, 10.0, 1001)
+        g = jax.vmap(jax.grad(fast_sin))(x)
+        np.testing.assert_allclose(np.asarray(g), np.cos(np.asarray(x)),
+                                   atol=5e-5)
