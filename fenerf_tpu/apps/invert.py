@@ -67,12 +67,13 @@ def load_targets(image_path, seg_path, image_size, background_mask,
 
     def prep(pil, size, nearest=False):
         if center_crop:
-            pil = pil.resize(
-                (320, 320), Image.NEAREST if nearest else Image.LANCZOS)
-            left = (320 - 256) // 2
-            pil = pil.crop((left, left, left + 256, left + 256))
+            # short side -> 320, center crop 256 (the dataset geometry,
+            # reference transform_img, inverse_render...py:177-218)
+            from fenerf_tpu.data.celeba_mask import _prep
+
+            return _prep(pil, size, nearest)
         return pil.resize(
-            (size, size), Image.NEAREST if nearest else Image.LANCZOS)
+            (size, size), Image.NEAREST if nearest else Image.BILINEAR)
 
     gt_img = np.asarray(prep(img, image_size), dtype=np.float32) / 255.0
     gt_img = (gt_img.transpose(2, 0, 1)[None] - 0.5) / 0.5
