@@ -258,6 +258,91 @@ def render_grid_from_z(
                        noise_std, camera)
 
 
+def render_image_sharded(
+    params: Params,
+    fcfg: fields.FieldConfig,
+    rcfg: RenderConfig,
+    key: jax.Array,
+    film_geo: Film,
+    film_app: Film,
+    mesh,
+    camera: tuple,
+    batch_size: int = 1,
+    noise_std: float | jax.Array = 0.0,
+    axis: str = "data",
+) -> jax.Array:
+    """Ray-parallel rendering: ONE image's rays sharded over the mesh.
+
+    The reference scales only over the batch (DDP); rays are embarrassingly
+    parallel (alpha compositing is per-ray), so a single large render can be
+    split across chips — the NeRF analogue of context/sequence parallelism
+    (SURVEY.md §5). Each device renders a horizontal strip of the pixel grid
+    under a fixed camera; results concatenate along rows with no collectives
+    beyond the output gather.
+
+    Requires a deterministic camera (pitch, yaw, fov); returns pixels
+    (B, C, H, W).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    h = rcfg.img_size
+    assert h % n_dev == 0, f"img_size {h} % {n_dev} devices != 0"
+    rows_per = h // n_dev
+    pitch, yaw, fov = camera
+
+    dirs_cam_full = raylib.pixel_ray_dirs(h, fov).reshape(h, h, 3)
+    z0 = raylib.initial_z_vals(rcfg.num_steps, rcfg.ray_start, rcfg.ray_end)
+
+    def strip(dirs_rows, key):
+        # dirs_rows: (rows_per, W, 3) — this device's rays
+        idx = jax.lax.axis_index(axis)
+        k = jax.random.fold_in(key, idx)
+        k_rays, k_cnoise, k_pdf, k_fnoise = jax.random.split(k, 4)
+        dirs = dirs_rows.reshape(rows_per * h, 3)
+        tr = raylib.transform_rays(
+            k_rays, batch_size, dirs, z0, 0.0, 0.0, yaw, pitch,
+            mode=None, perturb=rcfg.perturb,
+        )
+        field_fn = _film_field_fn(params, fcfg, rcfg, film_geo, film_app)
+        out_dim = fcfg.output_dim
+        coarse = _eval_chunked(field_fn, rcfg, tr.points, tr.ray_dirs, out_dim)
+        if rcfg.hierarchical:
+            cw = integ.integrate(coarse, tr.z_vals, key=k_cnoise,
+                                 noise_std=noise_std,
+                                 clamp_mode=rcfg.clamp_mode).weights
+            w = jax.lax.stop_gradient(cw) + 1e-5
+            fine_z = integ.sample_pdf(k_pdf, integ.midpoints(tr.z_vals),
+                                      w[..., 1:-1], rcfg.num_steps)
+            fine_pts = (tr.ray_origins[:, :, None, :]
+                        + tr.ray_dirs[:, :, None, :] * fine_z[..., None])
+            fine = _eval_chunked(field_fn, rcfg, fine_pts, tr.ray_dirs,
+                                 out_dim)
+            all_out, all_z = integ.merge_sorted(fine, coarse, fine_z,
+                                                tr.z_vals)
+        else:
+            all_out, all_z = coarse, tr.z_vals
+        res = integ.integrate(all_out, all_z, key=k_fnoise,
+                              noise_std=noise_std, clamp_mode=rcfg.clamp_mode,
+                              last_back=rcfg.last_back,
+                              white_back=rcfg.white_back,
+                              black_back=rcfg.black_back)
+        comp = integ.apply_fill(res.comp, res.weights_sum, rcfg.fill_mode,
+                                rcfg.fill_color)
+        c = comp.shape[-1]
+        return comp.reshape(batch_size, rows_per, h, c)
+
+    fn = shard_map(
+        strip, mesh=mesh,
+        in_specs=(P(axis), None),
+        out_specs=P(None, axis),
+        check_rep=False,
+    )
+    comp = fn(dirs_cam_full, key)  # (B, H, W, C)
+    return comp.transpose(0, 3, 1, 2) * 2.0 - 1.0
+
+
 def render_from_z(
     params: Params,
     fcfg: fields.FieldConfig,
