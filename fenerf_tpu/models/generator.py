@@ -337,7 +337,6 @@ def render_image_sharded(
         strip, mesh=mesh,
         in_specs=(P(axis), None),
         out_specs=P(None, axis),
-        check_rep=False,
     )
     comp = fn(dirs_cam_full, key)  # (B, H, W, C)
     return comp.transpose(0, 3, 1, 2) * 2.0 - 1.0
