@@ -26,6 +26,11 @@ def main(argv=None):
     p.add_argument("--inversion_ckpt", default=None,
                    help=".npz of inverted film tensors (apps/invert.py)")
     p.add_argument("--chunk", type=int, default=262144)
+    p.add_argument("--export_ply", action="store_true",
+                   help="also mesh the sigma volume (marching tetrahedra) "
+                        "and write a .ply surface")
+    p.add_argument("--iso_level", type=float, default=10.0,
+                   help="sigma iso level for the mesh")
     args = p.parse_args(argv)
 
     import jax
@@ -51,6 +56,17 @@ def main(argv=None):
         path = os.path.join(args.output_dir, f"{name}.mrc")
         write_mrc(path, sigma, voxel_size=args.cube_size / res)
         print(f"wrote {path} (sigma in [{sigma.min():.2f}, {sigma.max():.2f}])")
+        if args.export_ply:
+            from fenerf_tpu.utils.marching import (marching_tetrahedra,
+                                                   write_ply)
+
+            vox = args.cube_size / res
+            verts, faces = marching_tetrahedra(
+                sigma, level=args.iso_level, spacing=(vox, vox, vox),
+                origin=(-args.cube_size / 2,) * 3)
+            ply = os.path.join(args.output_dir, f"{name}.ply")
+            write_ply(ply, verts, faces)
+            print(f"wrote {ply} ({len(verts)} verts, {len(faces)} faces)")
 
     if args.inversion_ckpt:
         data = np.load(args.inversion_ckpt)

@@ -78,11 +78,14 @@ class TestExtractShapes:
         from fenerf_tpu.utils.mrc import read_mrc
         out = str(tmp_path / "shapes")
         main(["--ckpt", tiny_ckpt, "--seeds", "0", "--output_dir", out,
-              "--voxel_resolution", "16", "--chunk", "1024"])
+              "--voxel_resolution", "16", "--chunk", "1024",
+              "--export_ply", "--iso_level", "0.0"])
         path = os.path.join(out, "shape_seed0.mrc")
         vol = read_mrc(path)
         assert vol.shape == (16, 16, 16)
         assert np.isfinite(vol).all()
+        # mesh written (possibly empty if sigma never crosses the level)
+        assert os.path.exists(os.path.join(out, "shape_seed0.ply"))
 
 
 class TestRenderVideo:

@@ -95,3 +95,40 @@ class TestAlign:
         lm[54] = [145, 170]
         out = align_face(img, lm, output_size=64, transform_size=64)
         assert out.size == (64, 64)
+
+
+class TestMarchingTetrahedra:
+    def test_sphere_surface(self):
+        from fenerf_tpu.utils.marching import marching_tetrahedra
+        n = 32
+        g = np.mgrid[0:n, 0:n, 0:n].astype(np.float32) - (n - 1) / 2
+        vol = 10.0 - np.sqrt((g ** 2).sum(0))  # inside-positive sphere r=10
+        verts, faces = marching_tetrahedra(vol, level=0.0)
+        assert len(verts) > 100 and len(faces) > 100
+        # all vertices near radius 10 from the center
+        r = np.linalg.norm(verts - (n - 1) / 2, axis=1)
+        assert abs(r.mean() - 10.0) < 0.2
+        assert r.std() < 0.2
+        # watertight: every edge shared by exactly 2 faces
+        edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                                faces[:, [2, 0]]])
+        edges = np.sort(edges, axis=1)
+        _, counts = np.unique(edges, axis=0, return_counts=True)
+        assert (counts == 2).mean() > 0.99
+
+    def test_empty_volume(self):
+        from fenerf_tpu.utils.marching import marching_tetrahedra
+        verts, faces = marching_tetrahedra(np.zeros((8, 8, 8)), level=1.0)
+        assert len(verts) == 0 and len(faces) == 0
+
+    def test_ply_roundtrip_header(self, tmp_path):
+        from fenerf_tpu.utils.marching import marching_tetrahedra, write_ply
+        n = 16
+        g = np.mgrid[0:n, 0:n, 0:n].astype(np.float32) - (n - 1) / 2
+        vol = 5.0 - np.abs(g).max(0)  # cube isosurface
+        verts, faces = marching_tetrahedra(vol, level=0.0,
+                                           spacing=(0.1, 0.1, 0.1))
+        path = str(tmp_path / "m.ply")
+        write_ply(path, verts, faces)
+        head = open(path).read(200)
+        assert "element vertex" in head and "element face" in head
