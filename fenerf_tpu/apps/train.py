@@ -48,6 +48,13 @@ def main(argv=None):
                    help="call jax.distributed.initialize() — the TPU-pod "
                         "replacement for init_process_group (launch this CLI "
                         "once per host; coordinator from TPU env)")
+    p.add_argument("--batch_per_device", action="store_true", default=True,
+                   help="treat the curriculum batch_size as PER-DEVICE "
+                        "(reference semantics: each DDP rank loads a full "
+                        "batch_size, datasets.py:96-114); global batch = "
+                        "batch_size * n_devices")
+    p.add_argument("--global_batch", dest="batch_per_device",
+                   action="store_false")
     args = p.parse_args(argv)
 
     if args.multihost:
@@ -78,6 +85,9 @@ def main(argv=None):
 
     so = json.loads(args.stage_overrides) if args.stage_overrides else {}
 
+    mesh = sharding.data_mesh()
+    n_dev = len(mesh.devices.reshape(-1))
+
     def meta_at(step):
         m = cur.at_step(step)
         repl = dict(so)
@@ -85,11 +95,12 @@ def main(argv=None):
             repl["dataset_path"] = args.data_root
         if fo:
             repl["field_overrides"] = fo
+        if args.batch_per_device and "batch_size" not in so:
+            # reference semantics: curriculum batch_size is per DDP rank
+            repl["batch_size"] = m.batch_size * n_dev
         return dataclasses.replace(m, **repl) if repl else m
 
     meta = meta_at(0)
-    mesh = sharding.data_mesh()
-    n_dev = len(mesh.devices.reshape(-1))
     host_index, n_hosts = jax.process_index(), jax.process_count()
 
     key = jax.random.key(args.seed)

@@ -208,10 +208,10 @@ CURRICULA: dict[str, TrainConfig] = {
                      gen_lr=5e-5, disc_img_lr=2e-4, disc_seg_lr=1e-4)),
             (10_000, dict(batch_size=12, num_steps=12, img_size=64,
                           batch_split=2, gen_lr=2e-5, disc_img_lr=1e-4,
-                          disc_seg_lr=5e-5)),
+                          disc_seg_lr=5e-5, remat=True)),
             (50_000, dict(batch_size=4, num_steps=24, img_size=128,
                           batch_split=4, gen_lr=5e-6, disc_img_lr=5e-5,
-                          disc_seg_lr=2e-5)),
+                          disc_seg_lr=2e-5, remat=True)),
         ),
         end_step=500_000,
         defaults=dict(_DOUBLE_DEFAULTS,
@@ -224,10 +224,10 @@ CURRICULA: dict[str, TrainConfig] = {
                      gen_lr=6e-5, disc_img_lr=2e-4, disc_seg_lr=2e-4)),
             (20_000, dict(batch_size=48, num_steps=24, img_size=64,
                           batch_split=4, gen_lr=6e-5, disc_img_lr=2e-4,
-                          disc_seg_lr=2e-4)),
+                          disc_seg_lr=2e-4, remat=True)),
             (50_000, dict(batch_size=24, num_steps=24, img_size=128,
                           batch_split=4, gen_lr=2e-5, disc_img_lr=5e-5,
-                          disc_seg_lr=2e-5)),
+                          disc_seg_lr=2e-5, remat=True)),
         ),
         end_step=500_000,
         defaults=dict(
