@@ -127,7 +127,15 @@ def _mse(a, b):
 
 def _render_fakes(g_params, fcfg, rcfg, meta, key, z_geo, z_app, noise_std):
     """Render the batch in batch_split microbatches (lax.map bounds peak
-    activation memory like the reference's split loop, train...py:284-295)."""
+    activation memory like the reference's split loop, train...py:284-295).
+
+    These renders feed the discriminators under stop_gradient, so on TPU the
+    forward-only fused Pallas kernel serves them (G's own render keeps the
+    differentiable XLA path)."""
+    from fenerf_tpu.ops import film_mlp as film_ops
+
+    if jax.default_backend() == "tpu" and film_ops.supported(fcfg):
+        rcfg = rcfg.replace(backend="pallas")
     b = z_geo.shape[0]
     s = meta.batch_split
     assert b % s == 0, f"batch {b} not divisible by batch_split {s}"
