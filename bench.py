@@ -41,6 +41,16 @@ def bench_tpu() -> float:
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: the flagship render compiles in minutes
+    # cold but milliseconds warm
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.cache/fenerf_jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     from fenerf_tpu.models import generator as gen
     from fenerf_tpu.nn import fields
 

@@ -62,6 +62,15 @@ def main(argv=None):
 
         jax.distributed.initialize()
 
+    import jax as _jax
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.cache/fenerf_jax_cache"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     import jax
     import jax.numpy as jnp
     import numpy as np
