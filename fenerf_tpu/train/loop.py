@@ -144,12 +144,12 @@ def _render_fakes(g_params, fcfg, rcfg, meta, key, z_geo, z_app, noise_std):
     def one(args):
         k, zg, za = args
         out = gen.render_from_z(g_params, fcfg, rcfg, k, zg, za, noise_std)
-        return out["pixels"], out["position"]
+        return out["pixels"], out["position"], out["opacity"].mean()
 
-    pix, pos = jax.lax.map(
+    pix, pos, op = jax.lax.map(
         one, (keys, z_geo.reshape(s, b // s, -1), z_app.reshape(s, b // s, -1))
     )
-    return pix.reshape(b, *pix.shape[2:]), pos.reshape(b, 2)
+    return pix.reshape(b, *pix.shape[2:]), pos.reshape(b, 2), op.mean()
 
 
 def _d_loss(
@@ -277,9 +277,10 @@ def train_step(
 
     # ---------------- D_img ----------------
     zg, za = draw_z(k_zi)
-    fake_pix, fake_pos = jax.lax.stop_gradient(
+    fake_pix, fake_pos, fake_op = jax.lax.stop_gradient(
         _render_fakes(state.g_params, fcfg, rcfg, meta, k_fi, zg, za,
                       scal.noise_std))
+    metrics["fake_opacity"] = fake_op
     d_img_loss, d_img_grads = jax.value_and_grad(_d_loss)(
         state.d_img_params, meta.disc_img_config(), meta,
         aug(k_aug, real_imgs), aug(k_aug, fake_pix[:, -3:]), zg, za,
@@ -293,7 +294,7 @@ def train_step(
     # ---------------- D_seg ----------------
     if has_seg:
         zg, za = draw_z(k_zs)
-        fake_pix, fake_pos = jax.lax.stop_gradient(
+        fake_pix, fake_pos, _ = jax.lax.stop_gradient(
             _render_fakes(state.g_params, fcfg, rcfg, meta, k_fs, zg, za,
                           scal.noise_std))
         real_seg_in = jnp.concatenate([real_labels, real_imgs], axis=1)
