@@ -162,8 +162,12 @@ def main(argv=None):
                                fixed_za.shape)),
         ):
             avg = fields.avg_film(params, fcfg, jax.random.key(7))
+            # reference passes the CURRENT annealed nerf_noise into the
+            # sample renders (staged_forward receives **metadata,
+            # train...py:471) — early grids are noise-lit
             out = gen.render_truncated(
-                params, fcfg, ecfg, jax.random.key(0), zg, za, avg, psi=psi)
+                params, fcfg, ecfg, jax.random.key(0), zg, za, avg, psi=psi,
+                noise_std=meta.nerf_noise(step))
             pix = np.asarray(out["pixels"])
             save_image_grid(
                 os.path.join(args.output_dir, f"{step}_img_{tag}.png"),
