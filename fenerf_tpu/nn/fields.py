@@ -342,15 +342,28 @@ def apply_field(
     TextureEmbeddingPiGAN* (siren.py:1509-1530), generalized.
 
     backend='pallas' routes the whole MLP through the fused TPU kernel
-    (ops/film_mlp.py) — forward-only, inference paths.
+    (ops/film_mlp.py) — forward-only, inference paths. backend='pallas_train'
+    uses the custom-VJP variant (fused forward AND backward kernels,
+    ops/film_mlp_grad.py) for differentiable renders.
     """
-    if backend == "pallas":
+    if backend in ("pallas", "pallas_train"):
         from fenerf_tpu.ops import film_mlp as film_mlp_ops
 
         warped = points * (2.0 / cfg.box_side) if cfg.box_side else points
         gf = None
         if cfg.grid_channels and cfg.grid_to == "color":
             gf = grid_sample_3d_fast(params["grid"], warped)
+        if backend == "pallas_train":
+            from fenerf_tpu.ops.film_mlp_grad import make_film_mlp_trainable
+
+            mlp_keys = ["trunk", "color", "sigma_head", "color_head"]
+            if cfg.n_labels:
+                mlp_keys.append("label_head")
+            mlp_params = {k: params[k] for k in mlp_keys}
+            film_fn = make_film_mlp_trainable(cfg)
+            return film_fn(mlp_params, warped, ray_dirs, gf,
+                           film_geo[0], film_geo[1],
+                           film_app[0], film_app[1])
         return film_mlp_ops.film_mlp(
             params, cfg, warped, ray_dirs, gf, film_geo, film_app)
 

@@ -252,6 +252,17 @@ def train_step(
     has_seg = meta.output_dim > 4
     b = real_imgs.shape[0]
 
+    # G's differentiable renders: fused forward+backward Pallas kernels on
+    # TPU (custom VJP, ops/film_mlp_grad.py). The kernel saves only its
+    # inputs as residuals (activations recomputed in VMEM), so remat is
+    # redundant on this path.
+    from fenerf_tpu.ops import film_mlp as _film_ops
+
+    if jax.default_backend() == "tpu" and _film_ops.supported(fcfg):
+        g_rcfg = rcfg.replace(backend="pallas_train", remat=False)
+    else:
+        g_rcfg = rcfg
+
     (k_zi, k_fi, k_zs, k_fs, k_zg, k_fg, k_aug) = jax.random.split(key, 7)
 
     if meta.diff_augment_policy:
@@ -321,7 +332,7 @@ def train_step(
         k, zgs, zas = xs
         (loss, (li, ls)), grads = jax.value_and_grad(
             _g_loss, has_aux=True)(
-            state.g_params, d_img_params, d_seg_params, fcfg, rcfg, meta,
+            state.g_params, d_img_params, d_seg_params, fcfg, g_rcfg, meta,
             k, zgs, zas, scal)
         gsum = jax.tree.map(jnp.add, gsum, grads)
         return (gsum, lsum + loss, lsum_img + li, lsum_seg + ls), None

@@ -87,3 +87,66 @@ class TestFusedKernel:
         assert not ops.supported(fields.get_config("TALLSIREN"))
         assert not ops.supported(
             fields.get_config("EmbeddingPiGAN128SEMANTICDISENTANGLE"))
+
+
+class TestFusedBackward:
+    def _grad_setup(self, name="SIRENBASELINESEMANTICDISENTANGLE", **kw):
+        cfg = fields.get_config(name, z_geo_dim=8, z_app_dim=8,
+                                hidden_dim=32, **kw)
+        params = fields.init_field(jax.random.key(0), cfg)
+        b, n = 2, 128
+        k = jax.random.key(1)
+        pts = jax.random.normal(jax.random.fold_in(k, 0), (b, n, 3)) * 0.1
+        dirs = jax.random.normal(jax.random.fold_in(k, 1), (b, n, 3))
+        zg = jax.random.normal(jax.random.fold_in(k, 2), (b, 8))
+        za = jax.random.normal(jax.random.fold_in(k, 3), (b, 8))
+        return cfg, params, pts, dirs, zg, za
+
+    def _compare_grads(self, cfg, params, pts, dirs, zg, za, rtol=0.02):
+        def loss(p, backend):
+            fg, fa = fields.field_film(p, cfg, zg, za)
+            # XLA reference in bf16 compute: the kernel's matmuls are bf16,
+            # so this isolates kernel-math errors from precision noise
+            # (verified separately: XLA-bf16 deviates from f32 identically)
+            out = fields.apply_field(p, cfg, pts, dirs, fg, fa,
+                                     backend=backend,
+                                     compute_dtype=jnp.bfloat16)
+            return jnp.sum(out ** 2)
+
+        g_ref = jax.grad(lambda p: loss(p, "xla"))(params)
+        g_ker = jax.grad(lambda p: loss(p, "pallas_train"))(params)
+        for path, (a, b) in zip(
+                jax.tree_util.tree_flatten_with_path(g_ref)[0],
+                zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_ker))):
+            a, b = np.asarray(a), np.asarray(b)
+            na, nb = np.linalg.norm(a), np.linalg.norm(b)
+            name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                            for p in path[0])
+            if na < 1e-8 and nb < 1e-8:
+                continue
+            cos = float((a * b).sum() / max(na * nb, 1e-12))
+            assert cos > 0.999, f"{name}: cos={cos}"
+            assert abs(na - nb) / max(na, 1e-12) < rtol, \
+                f"{name}: |ref|={na} |ker|={nb}"
+
+    def test_grads_match_xla_baseline(self):
+        cfg, params, pts, dirs, zg, za = self._grad_setup()
+        self._compare_grads(cfg, params, pts, dirs, zg, za)
+
+    def test_grads_match_with_texture_grid(self):
+        import dataclasses
+        cfg, params, pts, dirs, zg, za = self._grad_setup(
+            "TextureEmbeddingPiGAN256SEMANTICDISENTANGLE_DIM_96")
+        cfg = dataclasses.replace(cfg, grid_resolution=8)
+        params = fields.init_field(jax.random.key(0), cfg)
+        self._compare_grads(cfg, params, pts, dirs, zg, za)
+
+    def test_forward_value_matches(self):
+        cfg, params, pts, dirs, zg, za = self._grad_setup()
+        fg, fa = fields.field_film(params, cfg, zg, za)
+        a = fields.apply_field(params, cfg, pts, dirs, fg, fa,
+                               backend="pallas")
+        b = fields.apply_field(params, cfg, pts, dirs, fg, fa,
+                               backend="pallas_train")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
