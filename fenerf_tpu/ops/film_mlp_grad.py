@@ -36,7 +36,7 @@ from fenerf_tpu.nn.fields import FieldConfig
 from fenerf_tpu.ops import film_mlp as fwdmod
 from fenerf_tpu.ops.fast_math import _poly_sin, _reduce
 
-DEFAULT_TILE = 512
+DEFAULT_TILE = 256
 
 
 def _fsin(v):
