@@ -135,7 +135,7 @@ class TestTrainCli:
                             mode="L").save(
                 root / "celebahq_mask_mask" / f"{i}.png")
         out = str(tmp_path / "run")
-        main(["--curriculum", "CelebA_double_semantic",
+        main(["--curriculum", "CelebA_double_semantic", "--global_batch",
               "--output_dir", out, "--data_root", str(root),
               "--total_steps", "3", "--eval_freq", "0",
               "--sample_interval", "1000", "--model_save_interval", "2",
@@ -168,7 +168,8 @@ class TestStageTransition:
                             mode="L").save(
                 root / "celebahq_mask_mask" / f"{i}.png")
         out = str(tmp_path / "run")
-        main(["--curriculum", "smoke", "--output_dir", out,
+        main(["--curriculum", "smoke", "--global_batch",
+              "--output_dir", out,
               "--data_root", str(root), "--total_steps", "4",
               "--eval_freq", "0", "--sample_interval", "1000",
               "--model_save_interval", "1000", "--log_every", "1",
@@ -198,7 +199,7 @@ class TestResume:
                             mode="L").save(
                 root / "celebahq_mask_mask" / f"{i}.png")
         out = str(tmp_path / "run")
-        common = ["--curriculum", "CelebA_double_semantic",
+        common = ["--curriculum", "CelebA_double_semantic", "--global_batch",
                   "--output_dir", out, "--data_root", str(root),
                   "--eval_freq", "0", "--sample_interval", "1000",
                   "--model_save_interval", "2", "--log_every", "1",
