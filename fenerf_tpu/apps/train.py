@@ -214,6 +214,18 @@ def main(argv=None):
         if host_index == 0 and step % args.log_every == 0:
             mvals = {k: float(v) for k, v in metrics.items()}
             stats.report(**mvals)
+            # divergence watchdog: halt + keep the last good checkpoint
+            # instead of wasting the rest of the run (the reference has no
+            # failure detection at all — SURVEY.md §5)
+            import math as _math
+            bad = [k for k, v in mvals.items() if not _math.isfinite(v)]
+            if bad:
+                ckpt.save(os.path.join(args.output_dir,
+                                       "train_state_diverged.npz"), state)
+                raise SystemExit(
+                    f"non-finite metrics {bad} at step {step}; state saved "
+                    f"to train_state_diverged.npz (resume from the last "
+                    f"periodic checkpoint with --load_dir)")
             dt = time.time() - t_last
             t_last = time.time()
             rate = args.log_every * m.batch_size / dt if step else 0.0

@@ -60,3 +60,39 @@ def inception_score(logits: np.ndarray, n_splits: int = 10
                     axis=1)
         scores.append(np.exp(kl.mean()))
     return float(np.mean(scores)), float(np.std(scores))
+
+
+def psnr(a: np.ndarray, b: np.ndarray, data_range: float = 2.0) -> float:
+    """Peak signal-to-noise ratio (default range 2.0 for [-1,1] images)."""
+    mse = float(np.mean((np.asarray(a, np.float64)
+                         - np.asarray(b, np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(data_range ** 2 / mse))
+
+
+def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 2.0,
+         win: int = 7) -> float:
+    """Mean structural similarity over (C, H, W) or (H, W) images —
+    uniform-window variant (skimage is unavailable here)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.ndim == 2:
+        a, b = a[None], b[None]
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+
+    def box(x):
+        # separable uniform filter, valid region
+        k = np.ones(win) / win
+        x = np.apply_along_axis(lambda r: np.convolve(r, k, "valid"), 1, x)
+        x = np.apply_along_axis(lambda r: np.convolve(r, k, "valid"), 2, x)
+        return x
+
+    mu_a, mu_b = box(a), box(b)
+    saa = box(a * a) - mu_a ** 2
+    sbb = box(b * b) - mu_b ** 2
+    sab = box(a * b) - mu_a * mu_b
+    s = ((2 * mu_a * mu_b + c1) * (2 * sab + c2)) / (
+        (mu_a ** 2 + mu_b ** 2 + c1) * (saa + sbb + c2))
+    return float(s.mean())

@@ -224,3 +224,19 @@ class TestFastMath:
         g = jax.vmap(jax.grad(fast_sin))(x)
         np.testing.assert_allclose(np.asarray(g), np.cos(np.asarray(x)),
                                    atol=5e-5)
+
+
+class TestImageMetrics:
+    def test_psnr_identity_and_noise(self):
+        from fenerf_tpu.eval.metrics import psnr
+        a = np.random.RandomState(0).rand(3, 32, 32) * 2 - 1
+        assert psnr(a, a) == float("inf")
+        noisy = a + 0.1
+        assert 20 < psnr(a, noisy) < 30
+
+    def test_ssim_bounds(self):
+        from fenerf_tpu.eval.metrics import ssim
+        a = np.random.RandomState(1).rand(3, 32, 32) * 2 - 1
+        assert abs(ssim(a, a) - 1.0) < 1e-9
+        b = np.random.RandomState(2).rand(3, 32, 32) * 2 - 1
+        assert ssim(a, b) < 0.3
