@@ -121,16 +121,21 @@ def calculate_fid(real_dir: str, gen_dir: str, feature_fn=None,
 
 
 def inception_features(path: str | None = None):
-    """InceptionV3-pool3 feature extractor, gated on a weights file
-    ($FENERF_INCEPTION_WEIGHTS .npz). Raises with instructions if absent —
-    callers doing CI pass an explicit feature_fn instead."""
+    """InceptionV3-pool3 feature extractor (nn/inception.py), gated on a
+    weights file ($FENERF_INCEPTION_WEIGHTS .npz, exported from pytorch-fid's
+    checkpoint via nn.inception.export_npz). Raises with instructions if
+    absent — CI paths pass an explicit feature_fn instead."""
     path = path or os.environ.get(WEIGHTS_ENV)
     if not path or not os.path.exists(path):
         raise FileNotFoundError(
             "InceptionV3 weights unavailable (zero-egress container). Set "
             f"${WEIGHTS_ENV} to an .npz exported from pytorch-fid's "
-            "InceptionV3 to compute reference-comparable FID, or pass "
-            "feature_fn= explicitly.")
-    raise NotImplementedError(
-        "InceptionV3 JAX forward pending weight availability; pass "
-        "feature_fn= for now.")
+            "InceptionV3 (nn/inception.py::export_npz) for reference-"
+            "comparable FID, or pass feature_fn= explicitly.")
+    import jax
+
+    from fenerf_tpu.nn.inception import inception_pool3, load_npz
+
+    params = load_npz(path)
+    fn = jax.jit(lambda imgs: inception_pool3(params, imgs))
+    return lambda imgs: fn(jax.numpy.asarray(imgs, jax.numpy.float32))

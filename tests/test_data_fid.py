@@ -115,3 +115,66 @@ class TestFid:
             fidlib.inception_features(path=None) if not os.environ.get(
                 fidlib.WEIGHTS_ENV) else (_ for _ in ()).throw(
                 FileNotFoundError("env set"))
+
+
+class TestInceptionArch:
+    def test_pool3_shapes_and_determinism(self):
+        import jax
+        import jax.numpy as jnp
+        from fenerf_tpu.nn.inception import inception_pool3, init_inception
+
+        params = init_inception(jax.random.key(0))
+        imgs = jax.random.uniform(jax.random.key(1), (2, 64, 64, 3))
+        feats = inception_pool3(params, imgs)
+        assert feats.shape == (2, 2048)
+        assert bool(jnp.all(jnp.isfinite(feats)))
+        feats2 = inception_pool3(params, imgs)
+        np.testing.assert_array_equal(np.asarray(feats), np.asarray(feats2))
+
+    def test_npz_roundtrip(self, tmp_path):
+        import jax
+        from fenerf_tpu.nn.inception import (init_inception, load_npz,
+                                             inception_pool3)
+        import jax.tree_util as jtu
+        import numpy as np2
+
+        params = init_inception(jax.random.key(0))
+        # export via the flat-key convention used by export_npz
+        flat = {}
+        for path, leaf in jtu.tree_flatten_with_path(params)[0]:
+            key = "/".join(str(getattr(p, "key", p)) for p in path)
+            flat[key] = np2.asarray(leaf)
+        p = str(tmp_path / "w.npz")
+        np2.savez(p, **flat)
+        loaded = load_npz(p)
+        a = inception_pool3(params, np2.zeros((1, 32, 32, 3), np2.float32))
+        b = inception_pool3(loaded, np2.zeros((1, 32, 32, 3), np2.float32))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_fid_with_inception_arch_random_weights(self, tmp_path,
+                                                    mask_dataset_root,
+                                                    monkeypatch):
+        """Full FID pipeline through the inception architecture (random
+        weights via the env gate — exercises the real code path)."""
+        import jax
+        import jax.tree_util as jtu
+        import numpy as np2
+        from fenerf_tpu.nn.inception import init_inception
+
+        params = init_inception(jax.random.key(3))
+        flat = {}
+        for path, leaf in jtu.tree_flatten_with_path(params)[0]:
+            key = "/".join(str(getattr(p, "key", p)) for p in path)
+            flat[key] = np2.asarray(leaf)
+        wpath = str(tmp_path / "incep.npz")
+        np2.savez(wpath, **flat)
+        monkeypatch.setenv(fidlib.WEIGHTS_ENV, wpath)
+
+        ds = CelebAMaskDataset(mask_dataset_root, img_size=32)
+        real_dir = str(tmp_path / "r")
+        gen_dir = str(tmp_path / "g")
+        fidlib.setup_evaluation(ds, real_dir, target_size=32, num_real=3)
+        fidlib.output_images(lambda k, n: np.zeros((n, 3, 32, 32), np.float32),
+                             gen_dir, num_eval=3, batch_size=3)
+        fid = fidlib.calculate_fid(real_dir, gen_dir)
+        assert np.isfinite(fid) and fid >= 0
