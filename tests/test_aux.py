@@ -240,3 +240,32 @@ class TestImageMetrics:
         assert abs(ssim(a, a) - 1.0) < 1e-9
         b = np.random.RandomState(2).rand(3, 32, 32) * 2 - 1
         assert ssim(a, b) < 0.3
+
+
+class TestLpipsArch:
+    def test_vgg_lpips_shapes_random_weights(self):
+        import jax
+        import jax.numpy as jnp
+        from fenerf_tpu.eval import lpips as L
+
+        # build random weights with the documented layout
+        key = jax.random.key(0)
+        params = {}
+        cin = 3
+        idx = 0
+        for ch, n in L._VGG_STAGES:
+            for _ in range(n):
+                key, k = jax.random.split(key)
+                params[f"conv{idx}_w"] = jax.random.normal(
+                    k, (3, 3, cin, ch)) * 0.05
+                params[f"conv{idx}_b"] = jnp.zeros((ch,))
+                cin = ch
+                idx += 1
+        for i, (ch, _) in enumerate(L._VGG_STAGES):
+            params[f"lin{i}_w"] = jnp.ones((1, 1, ch, 1)) / ch
+        x = jax.random.uniform(jax.random.key(1), (1, 3, 64, 64)) * 2 - 1
+        y = jax.random.uniform(jax.random.key(2), (1, 3, 64, 64)) * 2 - 1
+        d_same = float(L.lpips_distance(params, x, x))
+        d_diff = float(L.lpips_distance(params, x, y))
+        assert abs(d_same) < 1e-6
+        assert d_diff > 0
