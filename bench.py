@@ -28,6 +28,11 @@ BASELINE_FILE = os.path.join(REPO, "BASELINE_MEASURED.json")
 IMG = 128
 STEPS = 24
 BATCH = int(os.environ.get("FENERF_BENCH_BATCH", "16"))
+# round 1 hit an HBM ceiling at batch 32 (the coarse+fine merge materialized
+# a (B, R, 48, 48) permutation for the whole image, ~36.7G). The render now
+# chunks the whole per-ray pipeline (merge+integrate included) along rays, so
+# large batches fit; chunking is bit-exact (RayNoise drawn once, sliced).
+RAY_CHUNK = int(os.environ.get("FENERF_BENCH_RAY_CHUNK", "2048"))
 WARMUP = 2
 ITERS = 8
 RAYS_PER_IMG = IMG * IMG
@@ -37,7 +42,9 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_tpu() -> float:
+def bench_tpu(batch: int = None, ray_chunk: int = None) -> float:
+    batch = BATCH if batch is None else batch
+    ray_chunk = RAY_CHUNK if ray_chunk is None else ray_chunk
     import jax
     import jax.numpy as jnp
 
@@ -62,12 +69,15 @@ def bench_tpu() -> float:
         fill_mode="seg_padding_background",
         compute_dtype="bfloat16",
         backend="pallas",  # fused point-MLP kernel (measured fastest)
+        # chunk when the whole-image merge/gather intermediates get large
+        # (>=16 imgs @128px): bounds HBM AND keeps the XLA graph compilable
+        ray_chunk=ray_chunk if batch * RAYS_PER_IMG >= (1 << 18) else 0,
     )
     params = fields.init_field(jax.random.key(0), fcfg)
     film_g, film_a = fields.field_film(
         params, fcfg,
-        jax.random.normal(jax.random.key(1), (BATCH, fcfg.z_geo_dim)),
-        jax.random.normal(jax.random.key(2), (BATCH, fcfg.z_app_dim)),
+        jax.random.normal(jax.random.key(1), (batch, fcfg.z_geo_dim)),
+        jax.random.normal(jax.random.key(2), (batch, fcfg.z_app_dim)),
     )
 
     @jax.jit
@@ -76,7 +86,7 @@ def bench_tpu() -> float:
         # readback (the tunneled runtime elides dispatches whose outputs are
         # dropped, and block_until_ready does not reliably wait)
         return gen.render(params, fcfg, rcfg, key, film_g, film_a,
-                          batch_size=BATCH, noise_std=0.0)["pixels"].sum()
+                          batch_size=batch, noise_std=0.0)["pixels"].sum()
 
     key = jax.random.key(3)
     t0 = time.perf_counter()
@@ -91,8 +101,8 @@ def bench_tpu() -> float:
     checks = [float(o) for o in outs]  # forces execution of every render
     dt = time.perf_counter() - t0
     assert all(c == c for c in checks), "NaN render output"
-    rays_per_sec = BATCH * RAYS_PER_IMG * ITERS / dt
-    log(f"tpu: {ITERS} renders of {BATCH}x{IMG}x{IMG} in {dt:.3f}s "
+    rays_per_sec = batch * RAYS_PER_IMG * ITERS / dt
+    log(f"tpu: {ITERS} renders of {batch}x{IMG}x{IMG} in {dt:.3f}s "
         f"-> {rays_per_sec:,.0f} rays/s ({rays_per_sec * 2 * STEPS:,.0f} pts/s)")
     return rays_per_sec
 
@@ -133,7 +143,17 @@ def bench_reference_cpu() -> float:
 
 
 def main():
-    value = bench_tpu()
+    if os.environ.get("FENERF_BENCH_SWEEP"):
+        results = {}
+        for b in (8, 16, 32, 64):
+            results[b] = bench_tpu(batch=b)
+            log(f"sweep batch={b}: {results[b]:,.0f} rays/s")
+        best = max(results, key=results.get)
+        log(f"sweep: {json.dumps({k: round(v) for k, v in results.items()})} "
+            f"-> best batch {best}")
+        value = results[best]
+    else:
+        value = bench_tpu()
     if os.path.exists(BASELINE_FILE) and not os.environ.get("REMEASURE"):
         base = json.load(open(BASELINE_FILE))
     else:

@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fenerf_tpu.nn import fields
+from fenerf_tpu.models import generator as genlib
+from fenerf_tpu.nn import fields  # noqa: F401 (re-export for callers)
 
 
 def save_generator(
@@ -29,7 +30,10 @@ def save_generator(
     step: int,
     field_kwargs: dict | None = None,
 ) -> None:
-    config = {"model": model, "step": int(step),
+    from fenerf_tpu.nn import latent_grid_field as lgf
+
+    family = "grid" if lgf.is_grid_model(model) else "film"
+    config = {"model": model, "step": int(step), "family": family,
               "field_kwargs": field_kwargs or {}}
     arrays = {}
     for name, tree in (("params", params), ("ema", ema_params),
@@ -45,11 +49,16 @@ def save_generator(
 
 
 def load_generator(path: str):
-    """-> (params, ema_params, ema2_params, fcfg, config dict)."""
+    """-> (params, ema_params, ema2_params, cfg, config dict).
+
+    cfg is a FieldConfig (film family) or GridFieldConfig (latent-grid
+    family); config["family"] in {"film", "grid"} tells callers which render
+    path applies (round-1 checkpoints without the tag are all film)."""
     with np.load(path, allow_pickle=False) as data:
         config = json.loads(str(data["__config__"]))
-        fcfg = fields.get_config(config["model"], **config["field_kwargs"])
-        template = fields.init_field(jax.random.key(0), fcfg)
+        config.setdefault("family", "film")
+        fcfg = genlib.get_any_config(config["model"], **config["field_kwargs"])
+        template = genlib.init_any_field(jax.random.key(0), fcfg)
         treedef = jax.tree_util.tree_structure(template)
 
         def tree(name):

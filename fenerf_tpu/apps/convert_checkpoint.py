@@ -50,8 +50,10 @@ def main(argv=None):
 
     from fenerf_tpu.apps.common import save_generator
     from fenerf_tpu.compat import reference_shim
-    from fenerf_tpu.compat.torch_import import field_from_torch
+    from fenerf_tpu.compat.torch_import import (field_from_torch,
+                                                grid_field_from_torch)
     from fenerf_tpu.nn import fields
+    from fenerf_tpu.nn import latent_grid_field as lgf
 
     reference_shim.import_reference_generators()  # register shims for pickle
 
@@ -61,14 +63,26 @@ def main(argv=None):
     model = args.model
     if model == "auto":
         model = type(siren).__name__
-    field_kwargs = {
-        "z_geo_dim": getattr(siren, "z_geo_dim", getattr(siren, "z_dim", 256)),
-        "z_app_dim": getattr(siren, "z_app_dim", getattr(siren, "z_dim", 256)),
-        "n_labels": siren.output_dim - 4,
-        "hidden_dim": getattr(siren, "hidden_dim", 256),
-    }
-    fcfg = fields.get_config(model, **field_kwargs)
-    params = field_from_torch(siren.state_dict(), fcfg)
+
+    if lgf.is_grid_model(model):
+        # latent-grid family (SPATIALSIRENGRID, siren.py:413-518)
+        field_kwargs = {
+            "z_dim": getattr(siren, "z_dim", 256),
+            "hidden_dim": getattr(siren, "hidden_dim", 256),
+        }
+        import_fn = grid_field_from_torch
+    else:
+        field_kwargs = {
+            "z_geo_dim": getattr(siren, "z_geo_dim",
+                                 getattr(siren, "z_dim", 256)),
+            "z_app_dim": getattr(siren, "z_app_dim",
+                                 getattr(siren, "z_dim", 256)),
+            "n_labels": siren.output_dim - 4,
+            "hidden_dim": getattr(siren, "hidden_dim", 256),
+        }
+        fcfg = fields.get_config(model, **field_kwargs)
+        import_fn = lambda sd: field_from_torch(sd, fcfg)
+    params = import_fn(siren.state_dict())
 
     def load_ema(path):
         if not path or not os.path.exists(path):
@@ -79,7 +93,7 @@ def main(argv=None):
             return params
         sd = {k[len("siren."):]: v for k, v in sd.items()
               if k.startswith("siren.")}
-        return field_from_torch(sd, fcfg)
+        return import_fn(sd)
 
     base = os.path.dirname(args.generator)
     ema = load_ema(args.ema or os.path.join(base, "ema.pth"))

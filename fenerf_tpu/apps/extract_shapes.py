@@ -49,9 +49,14 @@ def main(argv=None):
     res = args.voxel_resolution
     pts = gen.voxel_points(res, args.cube_size)
 
-    def extract(film_geo, film_app, name):
-        out = gen.eval_volume(params, fcfg, film_geo, film_app, pts,
-                              chunk=args.chunk)
+    is_grid = config.get("family", "film") == "grid"
+
+    def extract(film_geo, film_app, name, z=None):
+        if is_grid:
+            out = gen.eval_volume_grid(params, fcfg, z, pts, chunk=args.chunk)
+        else:
+            out = gen.eval_volume(params, fcfg, film_geo, film_app, pts,
+                                  chunk=args.chunk)
         sigma = np.asarray(out[:, -1], dtype=np.float32).reshape(res, res, res)
         path = os.path.join(args.output_dir, f"{name}.mrc")
         write_mrc(path, sigma, voxel_size=args.cube_size / res)
@@ -74,6 +79,14 @@ def main(argv=None):
         film_app = (jnp.asarray(data["freq_app"]), jnp.asarray(data["phase_app"]))
         name = os.path.splitext(os.path.basename(args.inversion_ckpt))[0]
         extract(film_geo, film_app, f"shape_{name}")
+        return
+
+    if is_grid:
+        # latent-grid family: sigma volume straight from z (no W truncation)
+        for seed in args.seeds:
+            kg, _ = jax.random.split(jax.random.key(seed))
+            zg = jax.random.normal(kg, (1, fcfg.z_geo_dim))
+            extract(None, None, f"shape_seed{seed}", z=zg)
         return
 
     avg = fields.avg_film(params, fcfg, jax.random.key(42))

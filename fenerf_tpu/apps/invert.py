@@ -123,6 +123,12 @@ def main(argv=None):
     from fenerf_tpu.nn import fields
 
     params, ema, _, fcfg, _cfg = load_generator(args.ckpt)
+    if _cfg.get("family", "film") == "grid":
+        # the reference defines W-space inversion only for the film family
+        # (freq/phase offsets, inverse_render_double_semantic.py:307-350);
+        # the grid field's film is per-point, so there is no W to offset
+        raise SystemExit("inversion requires a film-family checkpoint "
+                         "(the latent-grid family has no W-space)")
     if args.use_ema:
         params = ema
     os.makedirs(args.save_dir, exist_ok=True)

@@ -48,10 +48,12 @@ def main(argv=None):
     if args.use_ema:
         params = ema
     os.makedirs(args.output_dir, exist_ok=True)
+    is_grid = config.get("family", "film") == "grid"
+    if is_grid and args.fill_mode == "seg_padding_background":
+        args.fill_mode = "eval_white_back"  # grid family is RGB-only
 
     steps = args.num_steps * args.ray_step_multiplier // 2
     yaw_offsets = [-0.5, -0.25, 0.0, 0.25, 0.5]
-    avg = fields.avg_film(params, fcfg, jax.random.key(42))
 
     rcfg = gen.RenderConfig(
         img_size=args.image_size, num_steps=steps, hierarchical=True,
@@ -59,16 +61,28 @@ def main(argv=None):
         ray_chunk=args.ray_chunk, compute_dtype="bfloat16",
     )
 
-    @jax.jit
-    def render_one(params, z_geo, z_app, yaw):
-        camera = (jnp.asarray(math.pi * 0.5), yaw, jnp.asarray(args.fov))
-        film_geo, film_app = fields.field_film(params, fcfg, z_geo, z_app)
-        film_geo = fields.truncate_film(film_geo, avg[0], args.psi)
-        film_app = fields.truncate_film(film_app, avg[1], args.psi)
-        out = gen.render(params, fcfg, rcfg, jax.random.key(0),
-                         film_geo, film_app, batch_size=z_geo.shape[0],
-                         noise_std=0.0, camera=camera)
-        return out["pixels"]
+    if is_grid:
+        # latent-grid family: no W-space truncation (its film is per-point;
+        # reference generate_avg_frequencies doesn't apply to SPATIALSIRENGRID)
+        @jax.jit
+        def render_one(params, z_geo, z_app, yaw):
+            camera = (jnp.asarray(math.pi * 0.5), yaw, jnp.asarray(args.fov))
+            out = gen.render_grid_from_z(params, fcfg, rcfg, jax.random.key(0),
+                                         z_geo, noise_std=0.0, camera=camera)
+            return out["pixels"]
+    else:
+        avg = fields.avg_film(params, fcfg, jax.random.key(42))
+
+        @jax.jit
+        def render_one(params, z_geo, z_app, yaw):
+            camera = (jnp.asarray(math.pi * 0.5), yaw, jnp.asarray(args.fov))
+            film_geo, film_app = fields.field_film(params, fcfg, z_geo, z_app)
+            film_geo = fields.truncate_film(film_geo, avg[0], args.psi)
+            film_app = fields.truncate_film(film_app, avg[1], args.psi)
+            out = gen.render(params, fcfg, rcfg, jax.random.key(0),
+                             film_geo, film_app, batch_size=z_geo.shape[0],
+                             noise_std=0.0, camera=camera)
+            return out["pixels"]
 
     for seed in args.seeds:
         k = jax.random.key(seed)

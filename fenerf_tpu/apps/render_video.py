@@ -51,15 +51,9 @@ def main(argv=None):
     if args.use_ema:
         params = ema
     os.makedirs(args.output_dir, exist_ok=True)
-    avg = fields.avg_film(params, fcfg, jax.random.key(42))
-
-    def films_for_seed(seed):
-        kg, ka = jax.random.split(jax.random.key(seed))
-        zg = jax.random.normal(kg, (1, fcfg.z_geo_dim))
-        za = jax.random.normal(ka, (1, fcfg.z_app_dim))
-        fg, fa = fields.field_film(params, fcfg, zg, za)
-        return (fields.truncate_film(fg, avg[0], args.psi),
-                fields.truncate_film(fa, avg[1], args.psi))
+    is_grid = config.get("family", "film") == "grid"
+    if is_grid and args.fill_mode == "eval_seg_padding_background":
+        args.fill_mode = "eval_white_back"  # grid family is RGB-only
 
     rcfg = gen.RenderConfig(
         img_size=args.image_size, num_steps=args.num_steps,
@@ -67,13 +61,41 @@ def main(argv=None):
         ray_chunk=args.ray_chunk, compute_dtype="bfloat16",
     )
 
-    @jax.jit
-    def render_frame(params, film_geo, film_app, camera):
-        # camera (pitch, yaw, fov) is traced: one compiled program serves
-        # every frame of every trajectory
-        return gen.render(params, fcfg, rcfg, jax.random.key(0),
-                          film_geo, film_app, batch_size=1, noise_std=0.0,
-                          camera=camera)
+    if is_grid:
+        # grid family: latents interpolate in z space (no W-space truncation;
+        # its film activations are per-point). 'geo'/'both' lerp z; 'app'
+        # has no separate appearance code -> hold endpoint 1.
+        def films_for_seed(seed):
+            zg = jax.random.normal(
+                jax.random.split(jax.random.key(seed))[0],
+                (1, fcfg.z_geo_dim))
+            # both slots carry (z, z) pairs so interpolate_films' (f, p)
+            # unpacking works unchanged; app slot is unused
+            return ((zg, zg), (zg, zg))
+
+        @jax.jit
+        def render_frame(params, film_geo, _film_app, camera):
+            return gen.render_grid_from_z(params, fcfg, rcfg,
+                                          jax.random.key(0), film_geo[0],
+                                          noise_std=0.0, camera=camera)
+    else:
+        avg = fields.avg_film(params, fcfg, jax.random.key(42))
+
+        def films_for_seed(seed):
+            kg, ka = jax.random.split(jax.random.key(seed))
+            zg = jax.random.normal(kg, (1, fcfg.z_geo_dim))
+            za = jax.random.normal(ka, (1, fcfg.z_app_dim))
+            fg, fa = fields.field_film(params, fcfg, zg, za)
+            return (fields.truncate_film(fg, avg[0], args.psi),
+                    fields.truncate_film(fa, avg[1], args.psi))
+
+        @jax.jit
+        def render_frame(params, film_geo, film_app, camera):
+            # camera (pitch, yaw, fov) is traced: one compiled program serves
+            # every frame of every trajectory
+            return gen.render(params, fcfg, rcfg, jax.random.key(0),
+                              film_geo, film_app, batch_size=1, noise_std=0.0,
+                              camera=camera)
 
     traj = camera_trajectory(args.trajectory, args.num_frames,
                              base_fov=12.0)

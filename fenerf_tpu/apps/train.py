@@ -148,6 +148,18 @@ def main(argv=None):
     prof_range = (tuple(int(x) for x in args.profile_steps.split(":"))
                   if args.profile_steps else None)
 
+    def eval_render(params, fcfg, ecfg, k, zg, za, psi, noise_std=0.0):
+        """Family-generic EMA/eval render; psi-truncation is film-only (the
+        grid family's film is per-point — no W-space average exists,
+        reference generate_avg_frequencies is incompatible with
+        SPATIALSIRENGRID's 32-d local-latent mapping net)."""
+        if gen.is_grid_config(fcfg):
+            return gen.render_grid_from_z(params, fcfg, ecfg, k, zg,
+                                          noise_std=noise_std)
+        avg = fields.avg_film(params, fcfg, jax.random.key(7))
+        return gen.render_truncated(params, fcfg, ecfg, k, zg, za, avg,
+                                    psi=psi, noise_std=noise_std)
+
     def sample_grids(state, meta, step):
         fcfg = meta.field_config()
         ecfg = meta.eval_render_config(
@@ -161,13 +173,11 @@ def main(argv=None):
              jax.random.normal(jax.random.fold_in(key, step + 1),
                                fixed_za.shape)),
         ):
-            avg = fields.avg_film(params, fcfg, jax.random.key(7))
             # reference passes the CURRENT annealed nerf_noise into the
             # sample renders (staged_forward receives **metadata,
             # train...py:471) — early grids are noise-lit
-            out = gen.render_truncated(
-                params, fcfg, ecfg, jax.random.key(0), zg, za, avg, psi=psi,
-                noise_std=meta.nerf_noise(step))
+            out = eval_render(params, fcfg, ecfg, jax.random.key(0), zg, za,
+                              psi, noise_std=meta.nerf_noise(step))
             pix = np.asarray(out["pixels"])
             save_image_grid(
                 os.path.join(args.output_dir, f"{step}_img_{tag}.png"),
@@ -181,8 +191,15 @@ def main(argv=None):
         m = meta_at(step)
         if stage_meta is None or m != stage_meta:
             stage_meta = m
+            # log which field-kernel path serves this stage (fused Pallas vs
+            # XLA fallback) so a config that supported() declines is visible
+            from fenerf_tpu.ops import film_mlp as film_ops
+            kpath = ("pallas_train(G)+pallas(D)"
+                     if jax.default_backend() == "tpu"
+                     and film_ops.supported(m.field_config()) else "xla")
             print(f"[stage] step={step} img={m.img_size} bs={m.batch_size} "
-                  f"steps/ray={m.num_steps} split={m.batch_split}")
+                  f"steps/ray={m.num_steps} split={m.batch_split} "
+                  f"kernel={kpath}")
             assert m.batch_size % n_dev == 0 or n_dev == 1, (
                 f"batch {m.batch_size} not divisible by {n_dev} devices")
             step_fn = sharding.jit_train_step_sharded(m, mesh)
@@ -191,8 +208,12 @@ def main(argv=None):
                 background_mask=m.background_mask,
             ) if m.dataset != "CelebA" else make_dataset(
                 m.dataset, m.dataset_path, m.img_size)
+            # each host loads its disjoint 1/n_hosts share of the global
+            # batch (shard_batch assembles the global array across hosts)
+            assert m.batch_size % max(n_hosts, 1) == 0, (
+                f"batch {m.batch_size} not divisible by {n_hosts} hosts")
             data_iter = iterate_batches(
-                dataset, m.batch_size, seed=args.seed + step,
+                dataset, m.batch_size // n_hosts, seed=args.seed + step,
                 host_index=host_index, n_hosts=n_hosts)
 
         imgs, labels = next(data_iter)
@@ -238,13 +259,19 @@ def main(argv=None):
 
         if host_index == 0 and step % args.model_save_interval == 0:
             ckpt.save(os.path.join(args.output_dir, "train_state.npz"), state)
+            # m.field_overrides carries the effective overrides (CLI ones
+            # replace the curriculum's in meta_at)
+            if m.family == "grid":
+                fkw = {"z_dim": m.latent_geo_dim, **dict(m.field_overrides)}
+            else:
+                fkw = {"z_geo_dim": m.latent_geo_dim,
+                       "z_app_dim": m.latent_app_dim,
+                       "n_labels": m.output_dim - 4,
+                       **dict(m.field_overrides)}
             save_generator(
                 os.path.join(args.output_dir, "generator.npz"),
                 state.g_params, state.ema.params, state.ema2.params,
-                m.model, step,
-                field_kwargs={"z_geo_dim": m.latent_geo_dim,
-                              "z_app_dim": m.latent_app_dim,
-                              "n_labels": m.output_dim - 4, **dict(fo)},
+                m.model, step, field_kwargs=fkw,
             )
         if host_index == 0 and step % args.sample_interval == 0:
             sample_grids(jax.device_get(state), m, step)
@@ -260,14 +287,12 @@ def main(argv=None):
             ecfg = m.eval_render_config(
                 img_size=min(128, m.target_size), ray_chunk=4096)
             ema_params = jax.device_get(state.ema.params)
-            avg = fields.avg_film(ema_params, fcfg, jax.random.key(7))
 
             def render_batch(k, n):
                 kg, ka = jax.random.split(k)
                 zg = jax.random.normal(kg, (n, m.latent_geo_dim))
                 za = jax.random.normal(ka, (n, m.latent_app_dim))
-                out = gen.render_truncated(
-                    ema_params, fcfg, ecfg, k, zg, za, avg, psi=1.0)
+                out = eval_render(ema_params, fcfg, ecfg, k, zg, za, psi=1.0)
                 return out["pixels"][:, -3:]
 
             fidlib.output_images(render_batch, gen_dir,

@@ -62,31 +62,45 @@ def grid_sample_3d(grid: jax.Array, coords: jax.Array) -> jax.Array:
     return out.reshape(*batch_shape, c)
 
 
-def grid_sample_3d_fast(grid: jax.Array, coords: jax.Array) -> jax.Array:
-    """grid_sample_3d with 2 row-gathers instead of 8 (TPU: gather cost
-    scales with gather COUNT, measured 155ms -> 64ms for 1.6M points).
+def grid_sample_3d_fast(grid: jax.Array, coords: jax.Array,
+                        table_dtype=None) -> jax.Array:
+    """grid_sample_3d with ONE row-gather instead of 8 (TPU: gather cost
+    scales with gather COUNT — round-1 measured 155ms -> 64ms going 8 -> 2;
+    the fully z-expanded table here halves that again and dominated the
+    flagship render profile, PROFILE_FIELD.json).
 
     The (C, D, H, W) grid is zero-padded by 1 voxel and expanded into a
-    table whose row (z, y, x) holds the 2x2 xy-neighborhood [4C channels];
-    a trilinear sample then needs only the z0/z1 rows. The zero border
-    realizes torch's padding_mode='zeros' for one-cell overflow; points
-    further outside are masked. Differentiable w.r.t. grid (pad/stack/gather).
-    Numerics match grid_sample_3d to f32 rounding.
+    table whose row (z, y, x) holds the full 2x2x2 neighborhood [8C
+    channels]; a trilinear sample is one row-gather + an (N, 8)x(8C) weighted
+    reduce. 8x the grid's HBM (96^3 x 32ch: 934MB f32 / 467MB bf16) buys the
+    halved gather count — the classic TPU memory-for-gathers trade.
+
+    The zero border realizes torch's padding_mode='zeros' for one-cell
+    overflow; points further outside are masked (their result is zero either
+    way). Differentiable w.r.t. grid (pad/stack/gather). table_dtype=bf16
+    halves table bytes; the bf16 compute paths already quantize grid feats to
+    bf16 at the next matmul, so it costs nothing there. Numerics otherwise
+    match grid_sample_3d to f32 rounding.
     """
     c, d, h, w = grid.shape
     batch_shape = coords.shape[:-1]
     xyz = coords.reshape(-1, 3)
 
-    # padded (C, D+2, H+2, W+2), then xy-expanded rows of 4C
+    # padded (C, D+2, H+2, W+2), then fully-expanded rows of 8C
     p = jnp.pad(grid, ((0, 0), (1, 1), (1, 1), (1, 1)))
-    # E[z, y, x] = [P[z,y,x], P[z,y,x+1], P[z,y+1,x], P[z,y+1,x+1]]
+    if table_dtype is not None:
+        p = p.astype(table_dtype)
+    # E[z, y, x] = [P[z+dz, y+dy, x+dx] for dz in (0,1) dy in (0,1) dx in (0,1)]
     e = jnp.stack([
-        p[:, :, :-1, :-1], p[:, :, :-1, 1:], p[:, :, 1:, :-1], p[:, :, 1:, 1:],
-    ], axis=0)  # (4, C, D+2, H+1, W+1)
-    hp, wp = h + 1, w + 1
-    table = e.transpose(2, 3, 4, 0, 1).reshape((d + 2) * hp * wp, 4 * c)
+        p[:, :-1, :-1, :-1], p[:, :-1, :-1, 1:],
+        p[:, :-1, 1:, :-1], p[:, :-1, 1:, 1:],
+        p[:, 1:, :-1, :-1], p[:, 1:, :-1, 1:],
+        p[:, 1:, 1:, :-1], p[:, 1:, 1:, 1:],
+    ], axis=0)  # (8, C, D+1, H+1, W+1)
+    dp, hp, wp = d + 1, h + 1, w + 1
+    table = e.transpose(2, 3, 4, 0, 1).reshape(dp * hp * wp, 8 * c)
     # force materialization: without the barrier XLA fuses the pad/stack into
-    # every gather consumer and recomputes the 400MB table per use, which is
+    # every gather consumer and recomputes the table per use, which is
     # catastrophic inside the full render graph
     table = jax.lax.optimization_barrier(table)
 
@@ -96,30 +110,24 @@ def grid_sample_3d_fast(grid: jax.Array, coords: jax.Array) -> jax.Array:
     fx, fy, fz = (idx - i0).T
     x0, y0, z0 = i0.astype(jnp.int32).T
 
-    # rows are valid where clip() does not move the base corner
-    mask_xy = ((x0 >= -1) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 1))
-    mask_z0 = mask_xy & (z0 >= -1) & (z0 <= d - 1)
-    mask_z1 = mask_xy & (z0 >= -2) & (z0 <= d - 2)
+    # a row is valid where clip() does not move the base corner; points with
+    # both neighbors outside the grid are exactly zero under zeros-padding
+    mask = ((x0 >= -1) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 1)
+            & (z0 >= -1) & (z0 <= d - 1))
 
     xp = jnp.clip(x0 + 1, 0, w)   # into [0, W] of the W+1 expanded axis
     yp = jnp.clip(y0 + 1, 0, h)
-    zp0 = jnp.clip(z0 + 1, 0, d + 1)
-    zp1 = jnp.clip(z0 + 2, 0, d + 1)
-    base = yp * wp + xp
-    r0 = jnp.take(table, zp0 * (hp * wp) + base, axis=0)  # (N, 4C)
-    r1 = jnp.take(table, zp1 * (hp * wp) + base, axis=0)
+    zp = jnp.clip(z0 + 1, 0, d)
+    rows = jnp.take(table, (zp * hp + yp) * wp + xp, axis=0)  # (N, 8C)
 
-    wxy = jnp.stack(
-        [(1 - fy) * (1 - fx), (1 - fy) * fx, fy * (1 - fx), fy * fx],
-        axis=-1)  # (N, 4) matching chunk order
     dt = coords.dtype
-
-    def combine(rows, wz, mask):
-        rows = rows.reshape(-1, 4, c)
-        return jnp.einsum("nkc,nk->nc", rows,
-                          wxy * (wz * mask.astype(dt))[:, None])
-
-    out = combine(r0, 1.0 - fz, mask_z0) + combine(r1, fz, mask_z1)
+    wx = jnp.stack([1 - fx, fx], -1)          # (N, 2)
+    wy = jnp.stack([1 - fy, fy], -1)
+    wz = jnp.stack([1 - fz, fz], -1)
+    w8 = (wz[:, :, None, None] * wy[:, None, :, None]
+          * wx[:, None, None, :]).reshape(-1, 8)  # chunk order (dz, dy, dx)
+    w8 = w8 * mask.astype(dt)[:, None]
+    out = jnp.einsum("nkc,nk->nc", rows.reshape(-1, 8, c).astype(dt), w8)
     return out.reshape(*batch_shape, c)
 
 

@@ -33,12 +33,17 @@ def integrate(
     last_back: bool = False,
     white_back: bool = False,
     black_back: bool = False,
+    noise: jax.Array | None = None,
 ) -> Integrated:
     """NeRF volumetric rendering (reference fancy_integration :18-51).
 
     alpha_i = 1 - exp(-delta_i * act(sigma_i + noise)); weights via
     transmittance cumprod; the same weights composite every channel
     (semantics and RGB share the geometry).
+
+    `noise` (unscaled standard normals, sigmas.shape) may be pre-drawn by the
+    caller — the ray-chunked render path draws once over the full image and
+    slices per block so chunking stays bit-exact.
     """
     channels = rgb_sigma[..., :-1]
     sigmas = rgb_sigma[..., -1]
@@ -48,7 +53,9 @@ def integrate(
         [deltas, jnp.full_like(deltas[..., :1], 1e10)], axis=-1
     )
 
-    if key is not None:
+    if noise is not None:
+        sigmas = sigmas + noise * noise_std
+    elif key is not None:
         sigmas = sigmas + jax.random.normal(key, sigmas.shape) * noise_std
 
     if clamp_mode == "softplus":
@@ -128,13 +135,15 @@ def sample_pdf(
     n_importance: int,
     det: bool = False,
     eps: float = 1e-5,
+    u: jax.Array | None = None,
 ) -> jax.Array:
     """Inverse-CDF importance sampling (reference sample_pdf :259-300).
 
     searchsorted(side='left') is realized as sum(cdf < u): with S ~ tens of
     samples the O(S * n_importance) comparison matrix is cheap, fully
     vectorized, and avoids serial binary-search gathers on the VPU.
-    Returns (..., n_importance) new sample positions.
+    `u` may be pre-drawn by the caller (ray-chunked rendering slices one
+    full-image draw per block). Returns (..., n_importance) new positions.
     """
     w = weights + eps
     pdf = w / jnp.sum(w, axis=-1, keepdims=True)
@@ -142,7 +151,9 @@ def sample_pdf(
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (..., M)
 
     u_shape = weights.shape[:-1] + (n_importance,)
-    if det:
+    if u is not None:
+        assert u.shape == u_shape, (u.shape, u_shape)
+    elif det:
         u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_importance), u_shape)
     else:
         assert key is not None

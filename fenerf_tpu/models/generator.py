@@ -23,7 +23,7 @@ integrate -> NCHW pixels in [-1, 1].
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -79,35 +79,121 @@ class RenderConfig:
         return dataclasses.replace(self, **kw)
 
 
-def _eval_chunked(field_fn, rcfg, points, dirs, output_dim):
-    """Evaluate field_fn(points (B,M,3), dirs (B,M,3)) -> (B,M,C) over
-    (B, R, S, 3) samples, optionally lax.map-chunked along the ray axis to
-    bound live activation memory (TPU replacement for the reference's
-    max_batch_size while loops)."""
-    b, r, s, _ = points.shape
+class RayNoise(NamedTuple):
+    """Per-ray randomness, drawn ONCE over the whole image and sliced per
+    ray block — chunked rendering is bit-exact vs whole-image rendering.
+    All entries are unscaled draws; consumers scale by noise_std."""
+    u: jax.Array | None       # (B, R, num_steps) importance-sampling uniforms
+    coarse: jax.Array | None  # (B, R, S) proposal-pass sigma noise (std normal)
+    final: jax.Array | None   # (B, R, S_total) final-pass sigma noise
 
-    def eval_block(pts, drs):
+
+def draw_ray_noise(k_coarse, k_pdf, k_final, batch: int, n_rays: int,
+                   rcfg: "RenderConfig") -> RayNoise:
+    s = rcfg.num_steps
+    if rcfg.hierarchical:
+        return RayNoise(
+            u=jax.random.uniform(k_pdf, (batch, n_rays, s)),
+            coarse=jax.random.normal(k_coarse, (batch, n_rays, s)),
+            final=jax.random.normal(k_final, (batch, n_rays, 2 * s)),
+        )
+    return RayNoise(
+        u=None, coarse=None,
+        final=jax.random.normal(k_final, (batch, n_rays, s)),
+    )
+
+
+def _expand_dirs(rcfg, dirs, points):
+    """(B, R, 3) ray dirs -> (B, R, S, 3) per-sample dirs (optionally locked
+    to (0, 0, -1), reference lock_view_dependence)."""
+    dirs_exp = jnp.broadcast_to(dirs[:, :, None, :], points.shape)
+    if rcfg.lock_view_dependence:
+        dirs_exp = jnp.zeros_like(dirs_exp).at[..., -1].set(-1.0)
+    return dirs_exp
+
+
+def _shade_rays(field_fn, output_dim, rcfg, origins, dirs, z_vals, points,
+                dirs_exp, noise: RayNoise, noise_std):
+    """The per-ray half of the pipeline on a block of rays: coarse field eval
+    -> proposal integrate -> importance resample -> fine eval -> depth-sorted
+    merge -> final integrate -> fill. Shapes: origins/dirs (B, Rb, 3),
+    z_vals (B, Rb, S), points (B, Rb, S, 3).
+
+    Everything here is per-ray independent, so the caller may lax.map it over
+    ray blocks: peak memory (field activations AND the (Rb, 2S, 2S) merge
+    permutation) scales with the block size, not the image size."""
+    b = points.shape[0]
+    s = points.shape[2]
+
+    def eval_pts(pts, drs):
         rb = pts.shape[1]
         out = field_fn(pts.reshape(b, rb * s, 3), drs.reshape(b, rb * s, 3))
         return out.reshape(b, rb, s, output_dim)
 
     if rcfg.remat:
-        eval_block = jax.checkpoint(eval_block)
+        eval_pts = jax.checkpoint(eval_pts)
 
-    dirs_exp = jnp.broadcast_to(dirs[:, :, None, :], points.shape)
-    if rcfg.lock_view_dependence:
-        dirs_exp = jnp.zeros_like(dirs_exp).at[..., -1].set(-1.0)
+    coarse = eval_pts(points, dirs_exp)
 
+    if rcfg.hierarchical:
+        # coarse weights drive importance resampling; no gradients flow
+        # through the proposal (reference wraps this in no_grad,
+        # generators.py:483-502)
+        coarse_w = integ.integrate(
+            jax.lax.stop_gradient(coarse), z_vals,
+            key=None, noise=noise.coarse, noise_std=noise_std,
+            clamp_mode=rcfg.clamp_mode,
+        ).weights
+        w = jax.lax.stop_gradient(coarse_w) + 1e-5
+        fine_z = integ.sample_pdf(
+            None, integ.midpoints(z_vals), w[..., 1:-1], rcfg.num_steps,
+            u=noise.u)
+        fine_z = jax.lax.stop_gradient(fine_z)
+        fine_pts = (origins[:, :, None, :]
+                    + dirs[:, :, None, :] * fine_z[..., None])
+        fine = eval_pts(fine_pts, dirs_exp)
+        all_out, all_z = integ.merge_sorted(fine, coarse, fine_z, z_vals)
+    else:
+        all_out, all_z = coarse, z_vals
+
+    res = integ.integrate(
+        all_out, all_z, key=None, noise=noise.final, noise_std=noise_std,
+        clamp_mode=rcfg.clamp_mode, last_back=rcfg.last_back,
+        white_back=rcfg.white_back, black_back=rcfg.black_back,
+    )
+    comp = integ.apply_fill(res.comp, res.weights_sum, rcfg.fill_mode,
+                            rcfg.fill_color)
+    return comp, res.depth, res.weights_sum
+
+
+def _shade_chunked(field_fn, output_dim, rcfg, origins, dirs, z_vals, points,
+                   noise: RayNoise, noise_std):
+    """lax.map _shade_rays over fixed-size ray blocks (TPU replacement for the
+    reference's max_batch_size while loops, generators.py:583-589). Chunking
+    the WHOLE per-ray pipeline — not just the field evals — bounds the merge
+    permutation and integration intermediates too (the round-1 batch-32 HBM
+    ceiling, ROADMAP #2)."""
+    b, r = points.shape[:2]
+    dirs_exp = _expand_dirs(rcfg, dirs, points)
     chunk = rcfg.ray_chunk
     if not chunk or chunk >= r:
-        return eval_block(points, dirs_exp)
+        return _shade_rays(field_fn, output_dim, rcfg, origins, dirs, z_vals,
+                           points, dirs_exp, noise, noise_std)
 
     assert r % chunk == 0, f"ray_chunk {chunk} must divide n_rays {r}"
     n_blocks = r // chunk
-    pts_b = points.reshape(b, n_blocks, chunk, s, 3).transpose(1, 0, 2, 3, 4)
-    dirs_b = dirs_exp.reshape(b, n_blocks, chunk, s, 3).transpose(1, 0, 2, 3, 4)
-    out = jax.lax.map(lambda args: eval_block(*args), (pts_b, dirs_b))
-    return out.transpose(1, 0, 2, 3, 4).reshape(b, r, s, output_dim)
+
+    def resh(t):
+        # (B, R, ...) -> (n_blocks, B, chunk, ...) for lax.map
+        return t.reshape(b, n_blocks, chunk, *t.shape[2:]).swapaxes(0, 1)
+
+    xs = jax.tree.map(resh, (origins, dirs, z_vals, points, dirs_exp, noise))
+    out = jax.lax.map(
+        lambda a: _shade_rays(field_fn, output_dim, rcfg,
+                              a[0], a[1], a[2], a[3], a[4], a[5], noise_std),
+        xs)
+    return tuple(
+        t.swapaxes(0, 1).reshape(b, r, *t.shape[3:]) for t in out)
 
 
 def _film_field_fn(params, fcfg, rcfg, film_geo, film_app):
@@ -165,41 +251,11 @@ def render_core(
         mode=sample_dist, perturb=rcfg.perturb,
     )
 
-    coarse_out = _eval_chunked(field_fn, rcfg, tr.points, tr.ray_dirs,
-                               output_dim)
-
-    if rcfg.hierarchical:
-        # coarse weights drive importance resampling; no gradients flow
-        # through the proposal (reference wraps this in no_grad,
-        # generators.py:483-502)
-        coarse_w = integ.integrate(
-            jax.lax.stop_gradient(coarse_out), tr.z_vals,
-            key=k_coarse_noise, noise_std=noise_std,
-            clamp_mode=rcfg.clamp_mode,
-        ).weights
-        w = jax.lax.stop_gradient(coarse_w) + 1e-5
-        z_mid = integ.midpoints(tr.z_vals)
-        fine_z = integ.sample_pdf(
-            k_pdf, z_mid, w[..., 1:-1], rcfg.num_steps, det=False
-        )
-        fine_z = jax.lax.stop_gradient(fine_z)
-        fine_pts = (
-            tr.ray_origins[:, :, None, :]
-            + tr.ray_dirs[:, :, None, :] * fine_z[..., None]
-        )
-        fine_out = _eval_chunked(field_fn, rcfg, fine_pts, tr.ray_dirs,
-                                 output_dim)
-        all_out, all_z = integ.merge_sorted(fine_out, coarse_out, fine_z, tr.z_vals)
-    else:
-        all_out, all_z = coarse_out, tr.z_vals
-
-    res = integ.integrate(
-        all_out, all_z, key=k_fine_noise, noise_std=noise_std,
-        clamp_mode=rcfg.clamp_mode, last_back=rcfg.last_back,
-        white_back=rcfg.white_back, black_back=rcfg.black_back,
-    )
-    comp = integ.apply_fill(res.comp, res.weights_sum, rcfg.fill_mode,
-                            rcfg.fill_color)
+    noise = draw_ray_noise(k_coarse_noise, k_pdf, k_fine_noise,
+                           batch_size, rcfg.n_rays, rcfg)
+    comp, depth, weights_sum = _shade_chunked(
+        field_fn, output_dim, rcfg, tr.ray_origins, tr.ray_dirs, tr.z_vals,
+        tr.points, noise, noise_std)
 
     if rcfg.softmax_label:
         seg, rgb = comp[..., :-3], comp[..., -3:]
@@ -209,8 +265,8 @@ def render_core(
     pixels = comp.reshape(batch_size, hw, hw, -1).transpose(0, 3, 1, 2) * 2.0 - 1.0
     return {
         "pixels": pixels,
-        "depth": res.depth.reshape(batch_size, hw, hw),
-        "opacity": res.weights_sum.reshape(batch_size, hw, hw),
+        "depth": depth.reshape(batch_size, hw, hw),
+        "opacity": weights_sum.reshape(batch_size, hw, hw),
         "position": jnp.concatenate([tr.pitch, tr.yaw], axis=-1),
     }
 
@@ -306,30 +362,11 @@ def render_image_sharded(
             mode=None, perturb=rcfg.perturb,
         )
         field_fn = _film_field_fn(params, fcfg, rcfg, film_geo, film_app)
-        out_dim = fcfg.output_dim
-        coarse = _eval_chunked(field_fn, rcfg, tr.points, tr.ray_dirs, out_dim)
-        if rcfg.hierarchical:
-            cw = integ.integrate(coarse, tr.z_vals, key=k_cnoise,
-                                 noise_std=noise_std,
-                                 clamp_mode=rcfg.clamp_mode).weights
-            w = jax.lax.stop_gradient(cw) + 1e-5
-            fine_z = integ.sample_pdf(k_pdf, integ.midpoints(tr.z_vals),
-                                      w[..., 1:-1], rcfg.num_steps)
-            fine_pts = (tr.ray_origins[:, :, None, :]
-                        + tr.ray_dirs[:, :, None, :] * fine_z[..., None])
-            fine = _eval_chunked(field_fn, rcfg, fine_pts, tr.ray_dirs,
-                                 out_dim)
-            all_out, all_z = integ.merge_sorted(fine, coarse, fine_z,
-                                                tr.z_vals)
-        else:
-            all_out, all_z = coarse, tr.z_vals
-        res = integ.integrate(all_out, all_z, key=k_fnoise,
-                              noise_std=noise_std, clamp_mode=rcfg.clamp_mode,
-                              last_back=rcfg.last_back,
-                              white_back=rcfg.white_back,
-                              black_back=rcfg.black_back)
-        comp = integ.apply_fill(res.comp, res.weights_sum, rcfg.fill_mode,
-                                rcfg.fill_color)
+        noise = draw_ray_noise(k_cnoise, k_pdf, k_fnoise,
+                               batch_size, rows_per * h, rcfg)
+        comp, _, _ = _shade_chunked(
+            field_fn, fcfg.output_dim, rcfg, tr.ray_origins, tr.ray_dirs,
+            tr.z_vals, tr.points, noise, noise_std)
         c = comp.shape[-1]
         return comp.reshape(batch_size, rows_per, h, c)
 
@@ -340,6 +377,58 @@ def render_image_sharded(
     )
     comp = fn(dirs_cam_full, key)  # (B, H, W, C)
     return comp.transpose(0, 3, 1, 2) * 2.0 - 1.0
+
+
+# ---------------------------------------------------------------------------
+# Family dispatch: the FiLM-SIREN family (FieldConfig) vs the latent-grid
+# family (GridFieldConfig, the reference's second released model). One set of
+# entry points serves apps/trainer regardless of family.
+# ---------------------------------------------------------------------------
+
+def get_any_config(model: str, **kwargs):
+    """FieldConfig or GridFieldConfig by reference model name."""
+    from fenerf_tpu.nn import latent_grid_field as lgf
+
+    if lgf.is_grid_model(model):
+        return lgf.get_grid_config(model, **kwargs)
+    return fields.get_config(model, **kwargs)
+
+
+def is_grid_config(cfg) -> bool:
+    from fenerf_tpu.nn import latent_grid_field as lgf
+
+    return isinstance(cfg, lgf.GridFieldConfig)
+
+
+def init_any_field(key: jax.Array, cfg) -> Params:
+    from fenerf_tpu.nn import latent_grid_field as lgf
+
+    if is_grid_config(cfg):
+        return lgf.init_grid_field(key, cfg)
+    return fields.init_field(key, cfg)
+
+
+def render_any(
+    params: Params,
+    cfg,                       # FieldConfig | GridFieldConfig
+    rcfg: RenderConfig,
+    key: jax.Array,
+    z_geo: jax.Array,
+    z_app: jax.Array,
+    noise_std: float | jax.Array = 0.0,
+    camera: tuple | None = None,
+) -> dict[str, jax.Array]:
+    """Family-generic z -> image render (the trainer's generator rollout).
+    The grid family is single-latent: z_geo drives the StyleGenerator2D and
+    z_app is ignored (reference SPATIALSIRENGRID.forward takes one z,
+    siren.py:437)."""
+    if is_grid_config(cfg):
+        return render_grid_from_z(params, cfg, rcfg, key, z_geo, noise_std,
+                                  camera)
+    film_geo, film_app = fields.field_film(params, cfg, z_geo, z_app)
+    return render(params, cfg, rcfg, key, film_geo, film_app,
+                  batch_size=z_geo.shape[0], noise_std=noise_std,
+                  camera=camera)
 
 
 def render_from_z(
@@ -421,3 +510,30 @@ def eval_volume(
 
     out = jax.lax.map(eval_block, blocks)
     return out.reshape(-1, fcfg.output_dim)[:n]
+
+
+def eval_volume_grid(
+    params: Params,
+    gcfg,                     # latent_grid_field.GridFieldConfig
+    z: jax.Array,             # (1, z_dim)
+    points: jax.Array,        # (N, 3)
+    chunk: int = 262144,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Latent-grid analogue of eval_volume: sigma(+rgb) on a lattice with a
+    locked (0, 0, -1) view direction (reference extract_shapes.py:38-65 run
+    against SPATIALSIRENGRID). Returns (N, output_dim)."""
+    from fenerf_tpu.nn import latent_grid_field as lgf
+
+    n = points.shape[0]
+    pad = (-n) % chunk
+    pts = jnp.pad(points, ((0, pad), (0, 0)))
+    blocks = pts.reshape(-1, chunk, 3)
+
+    def eval_block(p):
+        d = jnp.zeros_like(p).at[..., -1].set(-1.0)
+        return lgf.apply_grid_field(params, gcfg, p[None], d[None], z,
+                                    compute_dtype=compute_dtype)[0]
+
+    out = jax.lax.map(eval_block, blocks)
+    return out.reshape(-1, gcfg.output_dim)[:n]

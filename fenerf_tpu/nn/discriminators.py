@@ -157,16 +157,28 @@ def _spectral_normalize(w, u, v=None, n_iters: int = 1):
 
 
 def apply_nlayer_discriminator(params: Params, x: jax.Array,
-                               get_interm: bool = False):
-    """(B, C, H, W) -> patch logits (and intermediate features if asked)."""
+                               get_interm: bool = False,
+                               return_state: bool = False):
+    """(B, C, H, W) -> patch logits (and intermediate features if asked).
+
+    Spectral norm is stateful (torch mutates `u` in place every forward); in
+    JAX the updated `u` must be threaded back out. Training callers pass
+    return_state=True and carry the returned params into the next step —
+    sigma estimates then improve across steps like the reference's. With
+    return_state=False (inference) the stored u is used read-only.
+    """
     h = x.transpose(0, 2, 3, 1)
     feats = []
     n = len(params["layers"])
+    new_layers = []
     for i, lyr in enumerate(params["layers"]):
         p = lyr["conv"]
         w = p["w"]
         if lyr["sn"]:
-            w, _ = _spectral_normalize(w, lyr["u"], lyr.get("v"))
+            w, u_new = _spectral_normalize(w, lyr["u"], lyr.get("v"))
+            new_layers.append({**lyr, "u": u_new})
+        else:
+            new_layers.append(lyr)
         h = jax.lax.conv_general_dilated(
             h, w, (lyr["stride"],) * 2, ((2, 2), (2, 2)),
             dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["b"]
@@ -178,7 +190,10 @@ def apply_nlayer_discriminator(params: Params, x: jax.Array,
         if i < n - 1:
             h = jax.nn.leaky_relu(h, 0.2)
         feats.append(h.transpose(0, 3, 1, 2))
-    return feats if get_interm else feats[-1]
+    out = feats if get_interm else feats[-1]
+    if return_state:
+        return out, {"layers": new_layers}
+    return out
 
 
 def init_multiscale_discriminator(key, input_nc=22, ndf=64, n_layers=3,
@@ -189,13 +204,22 @@ def init_multiscale_discriminator(key, input_nc=22, ndf=64, n_layers=3,
 
 
 def apply_multiscale_discriminator(params: Params, x: jax.Array,
-                                   get_interm: bool = True):
+                                   get_interm: bool = True,
+                                   return_state: bool = False):
     """Reference MultiscaleDiscriminator (:422-465): run each patchGAN on a
-    progressively 2x avg-pooled input (finest scale first in outputs)."""
+    progressively 2x avg-pooled input (finest scale first in outputs).
+    return_state=True also returns params with updated spectral-norm u."""
     results = []
+    new_scales = []
     cur = x
     for i, sub in enumerate(params["scales"]):
-        results.append(apply_nlayer_discriminator(sub, cur, get_interm))
+        if return_state:
+            r, new_sub = apply_nlayer_discriminator(sub, cur, get_interm,
+                                                    return_state=True)
+            results.append(r)
+            new_scales.append(new_sub)
+        else:
+            results.append(apply_nlayer_discriminator(sub, cur, get_interm))
         if i != len(params["scales"]) - 1:
             nhwc = cur.transpose(0, 2, 3, 1)
             pooled = jax.lax.reduce_window(
@@ -205,6 +229,8 @@ def apply_multiscale_discriminator(params: Params, x: jax.Array,
                 jnp.ones_like(nhwc), 0.0, jax.lax.add, (1, 3, 3, 1),
                 (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)])
             cur = (pooled / counts).transpose(0, 3, 1, 2)
+    if return_state:
+        return results, {"scales": new_scales}
     return results
 
 

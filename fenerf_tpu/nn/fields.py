@@ -352,7 +352,10 @@ def apply_field(
         warped = points * (2.0 / cfg.box_side) if cfg.box_side else points
         gf = None
         if cfg.grid_channels and cfg.grid_to == "color":
-            gf = grid_sample_3d_fast(params["grid"], warped)
+            # bf16 table: the kernel quantizes gf to bf16 at the color matmul
+            # anyway; halving table bytes halves the dominant gather cost
+            gf = grid_sample_3d_fast(params["grid"], warped,
+                                     table_dtype=jnp.bfloat16)
         if backend == "pallas_train":
             from fenerf_tpu.ops.film_mlp_grad import make_film_mlp_trainable
 
@@ -383,7 +386,10 @@ def apply_field(
 
     grid_feats = None
     if cfg.grid_channels:
-        grid_feats = grid_sample_3d_fast(params["grid"], x_in)
+        grid_feats = grid_sample_3d_fast(
+            params["grid"], x_in,
+            table_dtype=(jnp.bfloat16 if compute_dtype == jnp.bfloat16
+                         else None))
 
     x = x_in
     if grid_feats is not None and cfg.grid_to == "trunk":

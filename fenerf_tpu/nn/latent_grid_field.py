@@ -48,6 +48,44 @@ class GridFieldConfig:
     def output_dim(self) -> int:
         return self.rgb_dim + 1
 
+    # compat properties so family-generic code (apps, trainer) can treat
+    # FieldConfig and GridFieldConfig uniformly: the grid family is
+    # single-latent (z drives the StyleGenerator2D) and RGB-only
+    @property
+    def n_labels(self) -> int:
+        return 0
+
+    @property
+    def z_geo_dim(self) -> int:
+        return self.z_dim
+
+    @property
+    def z_app_dim(self) -> int:
+        return self.z_dim
+
+
+# Registry of latent-grid variants (names match the reference classes).
+# SPATIALSIRENGRID is the field behind the released "FENeRF w/ latent grid"
+# checkpoint (/root/reference/README.md:74, siren/siren.py:413-518).
+GRID_VARIANTS: dict[str, GridFieldConfig] = {
+    "SPATIALSIRENGRID": GridFieldConfig(),
+}
+
+
+def is_grid_model(name: str) -> bool:
+    return name in GRID_VARIANTS
+
+
+def get_grid_config(name: str, **overrides) -> GridFieldConfig:
+    cfg = GRID_VARIANTS[name]
+    # film-family kwargs that may leak in from shared call sites
+    overrides.pop("n_labels", None)
+    zg = overrides.pop("z_geo_dim", None)
+    overrides.pop("z_app_dim", None)
+    if zg and "z_dim" not in overrides:
+        overrides["z_dim"] = zg
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
 
 def init_grid_field(key: jax.Array, cfg: GridFieldConfig,
                     dtype=jnp.float32) -> Params:

@@ -42,6 +42,8 @@ def _fsin(x):
 
 def supported(cfg: FieldConfig) -> bool:
     """Which variants the kernel covers (others fall back to XLA)."""
+    if not isinstance(cfg, FieldConfig):
+        return False  # latent-grid family: per-point film, XLA path
     return (
         cfg.use_ray_dir
         and not (cfg.grid_channels and cfg.grid_to == "trunk")

@@ -85,13 +85,25 @@ class StageMeta:
     field_overrides: tuple = ()
 
     # ---- derived configs --------------------------------------------------
-    def field_config(self) -> FieldConfig:
-        cfg = get_config(
-            self.model,
-            z_geo_dim=self.latent_geo_dim,
-            z_app_dim=self.latent_app_dim,
-            n_labels=self.output_dim - 4,
-        )
+    @property
+    def family(self) -> str:
+        from fenerf_tpu.nn.latent_grid_field import is_grid_model
+
+        return "grid" if is_grid_model(self.model) else "film"
+
+    def field_config(self):
+        """FieldConfig (film family) or GridFieldConfig (latent-grid)."""
+        if self.family == "grid":
+            from fenerf_tpu.nn.latent_grid_field import get_grid_config
+
+            cfg = get_grid_config(self.model, z_dim=self.latent_geo_dim)
+        else:
+            cfg = get_config(
+                self.model,
+                z_geo_dim=self.latent_geo_dim,
+                z_app_dim=self.latent_app_dim,
+                n_labels=self.output_dim - 4,
+            )
         if self.field_overrides:
             cfg = dataclasses.replace(cfg, **dict(self.field_overrides))
         return cfg
@@ -269,6 +281,44 @@ CURRICULA: dict[str, TrainConfig] = {
 }
 
 
+# Latent-grid family (SPATIALSIRENGRID + StyleGenerator2D): the reference's
+# second released checkpoint ("FENeRF w/ latent grid", README.md:74). The
+# reference ships no curriculum for it (checkpoint-only); stage values follow
+# the CelebA single-latent recipe (curriculums.py:42-80) with the grid field's
+# own dims (siren.py:413-451: z drives StyleGenerator2D(out_res=32, out_ch=32),
+# RGB-only output, single-encoder discriminator).
+CURRICULA["CelebA_latent_grid"] = TrainConfig(
+    name="CelebA_latent_grid",
+    stages=(
+        (0, dict(batch_size=48, num_steps=12, img_size=64, batch_split=2,
+                 gen_lr=6e-5, disc_img_lr=2e-4, disc_seg_lr=2e-4)),
+    ),
+    end_step=200_000,
+    defaults=dict(
+        dataset_path="data/celebahq/*.jpg",
+        background_mask=False,
+        fov=12.0, ray_start=0.88, ray_end=1.12, fade_steps=10000,
+        h_stddev=0.3, v_stddev=0.155,
+        h_mean=math.pi * 0.5, v_mean=math.pi * 0.5,
+        sample_dist="gaussian",
+        topk_interval=2000, topk_v=0.6,
+        betas=(0.0, 0.9), unique_lr=False, weight_decay=0.0,
+        r1_lambda=0.2,
+        latent_geo_dim=256, latent_app_dim=0, output_dim=4,
+        grad_clip=10.0,
+        model="SPATIALSIRENGRID",
+        generator="ImplicitGenerator3d",
+        dataset="CelebA",
+        clamp_mode="relu", z_dist="gaussian", hierarchical_sample=True,
+        z_geo_lambda=0.0, z_app_lambda=0.0, pos_lambda=15.0,
+        last_back=False, eval_last_back=True,
+        d_seg_loss_lambda=0.0, g_seg_loss_lambda=0.0,
+        softmax_label=False, target_size=128,
+        fill_mode="eval_white_back",
+    ),
+)
+
+
 CURRICULA["smoke"] = TrainConfig(
     # CI-sized curriculum exercising a real stage boundary (img/batch change
     # -> recompile + dataloader rebuild + fade-in reset) in seconds
@@ -282,6 +332,23 @@ CURRICULA["smoke"] = TrainConfig(
     end_step=10,
     defaults=dict(_DOUBLE_DEFAULTS, model="SIRENBASELINESEMANTICDISENTANGLE",
                   fade_steps=2),
+)
+
+
+CURRICULA["smoke_grid"] = TrainConfig(
+    # CI-sized latent-grid curriculum (tiny field via field_overrides)
+    name="smoke_grid",
+    stages=(
+        (0, dict(batch_size=8, num_steps=2, img_size=8, batch_split=1,
+                 gen_lr=6e-5, disc_img_lr=2e-4, disc_seg_lr=2e-4)),
+    ),
+    end_step=10,
+    defaults=dict(
+        CURRICULA["CelebA_latent_grid"].defaults,
+        fade_steps=2, latent_geo_dim=16,
+        field_overrides=(("hidden_dim", 32), ("grid_res", 8), ("grid_ch", 8),
+                         ("ch_max", 16), ("map_hidden_dim", 32)),
+    ),
 )
 
 

@@ -73,9 +73,12 @@ def _adam(lr: float, meta: StageMeta) -> optax.GradientTransformation:
 
 
 def _g_labels(g_params: Params) -> Params:
-    """Partition labels: mapping networks get the scaled learning rate."""
+    """Partition labels: mapping networks get the scaled learning rate
+    ("map" = the grid family's per-point mapping net, latent_grid_field)."""
     return {
-        k: jax.tree.map(lambda _: "map" if k in ("geo_map", "app_map") else "main", v)
+        k: jax.tree.map(
+            lambda _: "map" if k in ("geo_map", "app_map", "map") else "main",
+            v)
         for k, v in g_params.items()
     }
 
@@ -101,7 +104,7 @@ def make_d_optimizer(meta: StageMeta, which: str) -> optax.GradientTransformatio
 def init_train_state(key: jax.Array, meta: StageMeta) -> TrainState:
     kg, ki, ks = jax.random.split(key, 3)
     fcfg = meta.field_config()
-    g_params = fields.init_field(kg, fcfg)
+    g_params = gen.init_any_field(kg, fcfg)
     d_img = disc.init_discriminator(ki, meta.disc_img_config())
     d_seg = disc.init_discriminator(ks, meta.disc_seg_config())
     return TrainState(
@@ -143,7 +146,7 @@ def _render_fakes(g_params, fcfg, rcfg, meta, key, z_geo, z_app, noise_std):
 
     def one(args):
         k, zg, za = args
-        out = gen.render_from_z(g_params, fcfg, rcfg, k, zg, za, noise_std)
+        out = gen.render_any(g_params, fcfg, rcfg, k, zg, za, noise_std)
         return out["pixels"], out["position"], out["opacity"].mean()
 
     pix, pos, op = jax.lax.map(
@@ -169,11 +172,15 @@ def _d_loss(
 
     f_score, f_geo, f_app, f_pos = disc.apply_discriminator(
         d_params, dcfg, fake_in, alpha)
-    identity = (
-        meta.z_geo_lambda * _mse(f_geo, z_geo)
-        + meta.z_app_lambda * _mse(f_app, z_app)
-        + meta.pos_lambda * _mse(f_pos, positions)
-    )
+    # lambdas are static config floats: zero-lambda terms are dropped at
+    # trace time (also keeps single-encoder Ds, whose f_app is None, valid)
+    identity = 0.0
+    if meta.z_geo_lambda:
+        identity += meta.z_geo_lambda * _mse(f_geo, z_geo)
+    if meta.z_app_lambda:
+        identity += meta.z_app_lambda * _mse(f_app, z_app)
+    if meta.pos_lambda:
+        identity += meta.pos_lambda * _mse(f_pos, positions)
     loss = (
         jax.nn.softplus(f_score).mean()
         + jax.nn.softplus(-r_scores).mean()
@@ -195,8 +202,8 @@ def _g_loss(
     g_params, d_img_params, d_seg_params, fcfg, rcfg, meta: StageMeta,
     key, z_geo, z_app, scal: StepScalars,
 ):
-    out = gen.render_from_z(g_params, fcfg, rcfg, key, z_geo, z_app,
-                            scal.noise_std)
+    out = gen.render_any(g_params, fcfg, rcfg, key, z_geo, z_app,
+                         scal.noise_std)
     pixels, positions = out["pixels"], out["position"]
     has_seg = meta.output_dim > 4
     fake_rgb = pixels[:, -3:]
@@ -210,11 +217,14 @@ def _g_loss(
         d_img_params, meta.disc_img_config(), d_img_in, scal.alpha)
 
     def identity(geo, app, pos):
-        return (
-            meta.z_geo_lambda * _mse(geo, z_geo)
-            + meta.z_app_lambda * _mse(app, z_app)
-            + meta.pos_lambda * _mse(pos, positions)
-        )
+        t = 0.0
+        if meta.z_geo_lambda:
+            t += meta.z_geo_lambda * _mse(geo, z_geo)
+        if meta.z_app_lambda:
+            t += meta.z_app_lambda * _mse(app, z_app)
+        if meta.pos_lambda:
+            t += meta.pos_lambda * _mse(pos, positions)
+        return t
 
     img_sp = jax.nn.softplus(-jnp.sort(img_s[:, 0])[::-1])
     g_img_loss = _topk_mean(img_sp, scal.topk_frac) + identity(

@@ -29,9 +29,19 @@ def data_mesh(devices=None) -> Mesh:
 
 
 def shard_batch(mesh: Mesh, *arrays):
-    """Place per-example arrays with the batch axis split over 'data'."""
+    """Place per-example arrays with the batch axis split over 'data'.
+
+    Single process: arrays carry the full global batch. Multi-process
+    (jax.distributed): each host passes its LOCAL shard of the batch
+    (global_batch / process_count examples, loaded disjointly per host —
+    the DistributedSampler replacement) and the global array is assembled
+    across hosts."""
     sh = NamedSharding(mesh, P("data"))
-    out = tuple(jax.device_put(a, sh) for a in arrays)
+    if jax.process_count() > 1:
+        out = tuple(jax.make_array_from_process_local_data(sh, np.asarray(a))
+                    for a in arrays)
+    else:
+        out = tuple(jax.device_put(a, sh) for a in arrays)
     return out if len(out) > 1 else out[0]
 
 

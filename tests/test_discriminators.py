@@ -173,6 +173,35 @@ class TestPatchDiscriminators:
             np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=5e-3,
                                        rtol=1e-2)
 
+    def test_spectral_norm_u_persists_and_converges(self):
+        """Threading return_state across calls runs a true power iteration:
+        the sigma estimate converges to the top singular value (the round-1
+        version re-ran one iteration from init every call and never
+        improved)."""
+        from fenerf_tpu.nn.discriminators import (_spectral_normalize,
+                                                  apply_nlayer_discriminator,
+                                                  init_nlayer_discriminator)
+        params = init_nlayer_discriminator(jax.random.key(2), input_nc=4,
+                                           ndf=8, n_layers=3)
+        x = jnp.asarray(np.random.RandomState(0)
+                        .randn(1, 4, 32, 32).astype(np.float32))
+        # run 30 state-threaded forwards
+        p = params
+        for _ in range(30):
+            _, p = apply_nlayer_discriminator(p, x, return_state=True)
+        # u must have moved from init
+        lyr0 = next(l for l in params["layers"] if l["sn"])
+        lyrN = next(l for l in p["layers"] if l["sn"])
+        assert not np.allclose(np.asarray(lyr0["u"]), np.asarray(lyrN["u"]))
+        # converged sigma == exact top singular value of the flattened kernel
+        w = np.asarray(lyrN["conv"]["w"])
+        mat = w.transpose(3, 2, 0, 1).reshape(w.shape[-1], -1)
+        true_sigma = np.linalg.svd(mat, compute_uv=False)[0]
+        w_norm, _ = _spectral_normalize(jnp.asarray(w), lyrN["u"])
+        est_sigma = float(
+            (mat ** 2).sum() ** 0.5 / (np.asarray(w_norm) ** 2).sum() ** 0.5)
+        np.testing.assert_allclose(est_sigma, true_sigma, rtol=1e-3)
+
     def test_multiscale_shapes(self):
         from fenerf_tpu.nn.discriminators import (
             apply_multiscale_discriminator, init_multiscale_discriminator)
