@@ -27,7 +27,7 @@ BASELINE_FILE = os.path.join(REPO, "BASELINE_MEASURED.json")
 
 IMG = 128
 STEPS = 24
-BATCH = int(os.environ.get("FENERF_BENCH_BATCH", "16"))
+BATCH = int(os.environ.get("FENERF_BENCH_BATCH", "64"))  # sweep peak (BASELINE.md)
 # round 1 hit an HBM ceiling at batch 32 (the coarse+fine merge materialized
 # a (B, R, 48, 48) permutation for the whole image, ~36.7G). The render now
 # chunks the whole per-ray pipeline (merge+integrate included) along rays, so

@@ -103,27 +103,22 @@ def draw_ray_noise(k_coarse, k_pdf, k_final, batch: int, n_rays: int,
     )
 
 
-def _expand_dirs(rcfg, dirs, points):
-    """(B, R, 3) ray dirs -> (B, R, S, 3) per-sample dirs (optionally locked
-    to (0, 0, -1), reference lock_view_dependence)."""
-    dirs_exp = jnp.broadcast_to(dirs[:, :, None, :], points.shape)
-    if rcfg.lock_view_dependence:
-        dirs_exp = jnp.zeros_like(dirs_exp).at[..., -1].set(-1.0)
-    return dirs_exp
-
-
-def _shade_rays(field_fn, output_dim, rcfg, origins, dirs, z_vals, points,
-                dirs_exp, noise: RayNoise, noise_std):
+def _shade_rays(field_fn, output_dim, rcfg, origins, dirs, z_vals,
+                noise: RayNoise, noise_std):
     """The per-ray half of the pipeline on a block of rays: coarse field eval
     -> proposal integrate -> importance resample -> fine eval -> depth-sorted
     merge -> final integrate -> fill. Shapes: origins/dirs (B, Rb, 3),
-    z_vals (B, Rb, S), points (B, Rb, S, 3).
+    z_vals (B, Rb, S).
+
+    Sample points are (re)computed here as origin + dir * z rather than
+    passed in: a (B, R, S, 3) tensor pads its 3-lane minor axis to 128 on
+    TPU (42x HBM blowup — 300MB logical became a 12GB allocation at
+    batch 64 @128px), while per-block recomputation is two cheap VPU ops.
 
     Everything here is per-ray independent, so the caller may lax.map it over
     ray blocks: peak memory (field activations AND the (Rb, 2S, 2S) merge
     permutation) scales with the block size, not the image size."""
-    b = points.shape[0]
-    s = points.shape[2]
+    b, _, s = z_vals.shape
 
     def eval_pts(pts, drs):
         rb = pts.shape[1]
@@ -132,6 +127,11 @@ def _shade_rays(field_fn, output_dim, rcfg, origins, dirs, z_vals, points,
 
     if rcfg.remat:
         eval_pts = jax.checkpoint(eval_pts)
+
+    points = origins[:, :, None, :] + dirs[:, :, None, :] * z_vals[..., None]
+    dirs_exp = jnp.broadcast_to(dirs[:, :, None, :], points.shape)
+    if rcfg.lock_view_dependence:
+        dirs_exp = jnp.zeros_like(dirs_exp).at[..., -1].set(-1.0)
 
     coarse = eval_pts(points, dirs_exp)
 
@@ -166,19 +166,18 @@ def _shade_rays(field_fn, output_dim, rcfg, origins, dirs, z_vals, points,
     return comp, res.depth, res.weights_sum
 
 
-def _shade_chunked(field_fn, output_dim, rcfg, origins, dirs, z_vals, points,
+def _shade_chunked(field_fn, output_dim, rcfg, origins, dirs, z_vals,
                    noise: RayNoise, noise_std):
     """lax.map _shade_rays over fixed-size ray blocks (TPU replacement for the
     reference's max_batch_size while loops, generators.py:583-589). Chunking
     the WHOLE per-ray pipeline — not just the field evals — bounds the merge
     permutation and integration intermediates too (the round-1 batch-32 HBM
     ceiling, ROADMAP #2)."""
-    b, r = points.shape[:2]
-    dirs_exp = _expand_dirs(rcfg, dirs, points)
+    b, r = z_vals.shape[:2]
     chunk = rcfg.ray_chunk
     if not chunk or chunk >= r:
         return _shade_rays(field_fn, output_dim, rcfg, origins, dirs, z_vals,
-                           points, dirs_exp, noise, noise_std)
+                           noise, noise_std)
 
     assert r % chunk == 0, f"ray_chunk {chunk} must divide n_rays {r}"
     n_blocks = r // chunk
@@ -187,10 +186,10 @@ def _shade_chunked(field_fn, output_dim, rcfg, origins, dirs, z_vals, points,
         # (B, R, ...) -> (n_blocks, B, chunk, ...) for lax.map
         return t.reshape(b, n_blocks, chunk, *t.shape[2:]).swapaxes(0, 1)
 
-    xs = jax.tree.map(resh, (origins, dirs, z_vals, points, dirs_exp, noise))
+    xs = jax.tree.map(resh, (origins, dirs, z_vals, noise))
     out = jax.lax.map(
         lambda a: _shade_rays(field_fn, output_dim, rcfg,
-                              a[0], a[1], a[2], a[3], a[4], a[5], noise_std),
+                              a[0], a[1], a[2], a[3], noise_std),
         xs)
     return tuple(
         t.swapaxes(0, 1).reshape(b, r, *t.shape[3:]) for t in out)
@@ -255,7 +254,7 @@ def render_core(
                            batch_size, rcfg.n_rays, rcfg)
     comp, depth, weights_sum = _shade_chunked(
         field_fn, output_dim, rcfg, tr.ray_origins, tr.ray_dirs, tr.z_vals,
-        tr.points, noise, noise_std)
+        noise, noise_std)
 
     if rcfg.softmax_label:
         seg, rgb = comp[..., :-3], comp[..., -3:]
@@ -366,7 +365,7 @@ def render_image_sharded(
                                batch_size, rows_per * h, rcfg)
         comp, _, _ = _shade_chunked(
             field_fn, fcfg.output_dim, rcfg, tr.ray_origins, tr.ray_dirs,
-            tr.z_vals, tr.points, noise, noise_std)
+            tr.z_vals, noise, noise_std)
         c = comp.shape[-1]
         return comp.reshape(batch_size, rows_per, h, c)
 

@@ -169,8 +169,17 @@ class TestRenderProperties:
         b = gen.render_from_z(
             params, fcfg, rcfg.replace(ray_chunk=64), jax.random.key(5), zg, za
         )
+        # randomness is exact by construction (RayNoise drawn once, sliced
+        # per block); the only chunked/whole divergence is CPU-gemm tile-
+        # shape rounding (last-ulp) amplified by the FiLM sin chain —
+        # observed 3/10752 pixels at 2.3e-5 on a near-empty ray. On TPU the
+        # MXU accumulation is shape-stable and renders are byte-identical
+        # (verified via PNG compare in the CLI drive).
         np.testing.assert_allclose(
-            np.asarray(a["pixels"]), np.asarray(b["pixels"]), atol=1e-5
+            np.asarray(a["pixels"]), np.asarray(b["pixels"]), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["opacity"]), np.asarray(b["opacity"]), atol=1e-4
         )
 
     def test_hierarchical_shapes_and_grads(self):
