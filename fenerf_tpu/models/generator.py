@@ -470,6 +470,44 @@ def render_truncated(
     )
 
 
+def render_hd(
+    params: Params,
+    fcfg: fields.FieldConfig,       # an *HD variant (64-ch feature output)
+    rcfg: RenderConfig,             # img_size = the FEATURE resolution
+    key: jax.Array,
+    film_geo: Film,
+    film_app: Film,
+    batch_size: int,
+    nr_img_params,
+    nr_img_cfg,
+    nr_seg_params=None,
+    nr_seg_cfg=None,
+    noise_std: float | jax.Array = 0.0,
+    camera: tuple | None = None,
+) -> dict[str, jax.Array]:
+    """StyleGenerator3d path (generators.py:914-1018): volumetric render at
+    img_feat_size producing 64-ch feature maps, then neural-renderer
+    upsampling to RGB (and, with a seg head, [:, :64] label features through
+    their own renderer). Use fill_mode=None — the HD comp is features, not
+    semantics+rgb."""
+    from fenerf_tpu.nn.neural_renderer import apply_neural_renderer
+
+    out = render(params, fcfg, rcfg, key, film_geo, film_app,
+                 batch_size=batch_size, noise_std=noise_std, camera=camera)
+    # undo render_core's *2-1 (the reference feeds raw composites to the
+    # renderer and only maps the FINAL rgb to [-1, 1], generators.py:1008-1018)
+    feats = (out["pixels"] + 1.0) * 0.5
+    if nr_seg_params is not None:
+        labels, images = feats[:, :64], feats[:, 64:]
+        images = apply_neural_renderer(nr_img_params, nr_img_cfg, images)
+        labels = apply_neural_renderer(nr_seg_params, nr_seg_cfg, labels)
+        pixels = jnp.concatenate([labels, images], axis=1) * 2.0 - 1.0
+    else:
+        pixels = apply_neural_renderer(nr_img_params, nr_img_cfg,
+                                       feats) * 2.0 - 1.0
+    return {**out, "pixels": pixels}
+
+
 # ---------------------------------------------------------------------------
 # Shape extraction: evaluate sigma (+labels) on a voxel lattice
 # ---------------------------------------------------------------------------

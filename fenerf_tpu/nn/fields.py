@@ -151,6 +151,18 @@ VARIANTS: dict[str, FieldConfig] = {
         color_layers=1, label_hidden_layers=0, label_film=True,
         z_geo_dim=256, z_app_dim=256,
     ),
+    # --- HD variants: 64-channel FEATURE outputs for the neural-renderer
+    # upsampler head (siren.py:247-302, :1301-1366; StyleGenerator3d) ---
+    "SPATIALSIRENBASELINEHD": _cfg(
+        name="SPATIALSIRENBASELINEHD", n_labels=0, single_latent=True,
+        color_layers=1, label_hidden_layers=0, rgb_dim=64, rgb_sigmoid=False,
+        z_geo_dim=256, z_app_dim=256,
+    ),
+    "SPATIALSIRENSEMANTICHD": _cfg(
+        name="SPATIALSIRENSEMANTICHD", n_labels=64, single_latent=True,
+        color_layers=1, label_hidden_layers=0, label_film=True,
+        rgb_dim=64, rgb_sigmoid=False, z_geo_dim=256, z_app_dim=256,
+    ),
     # --- single-latent pi-GAN embedding-grid variants (RGB-only) ---
     "EmbeddingPiGAN128": _cfg(
         name="EmbeddingPiGAN128", n_labels=0, single_latent=True,
