@@ -141,6 +141,17 @@ VARIANTS: dict[str, FieldConfig] = {
     "SPATIALSIRENSEMANTICDISENTANGLE": _cfg(
         name="SPATIALSIRENSEMANTICDISENTANGLE", color_layers=8,
     ),
+    # dual-latent TALLSIREN (RGB-only, 3 color film layers; siren.py:747-812)
+    "SPATIALSIRENDISENTANGLE": _cfg(
+        name="SPATIALSIRENDISENTANGLE", n_labels=0, color_layers=3,
+        label_hidden_layers=0,
+    ),
+    # single-latent joint-semantic, label head NOT film-conditioned
+    # (siren.py:674-746)
+    "SPATIALSIRENBASELINESEMANTIC": _cfg(
+        name="SPATIALSIRENBASELINESEMANTIC", n_labels=19, single_latent=True,
+        color_layers=1, label_hidden_layers=1, z_geo_dim=256, z_app_dim=256,
+    ),
     "SIRENBASELINESEMANTICDISENTANGLE_debug": _cfg(
         name="SIRENBASELINESEMANTICDISENTANGLE_debug",
         n_labels=19, label_sigmoid=True,

@@ -71,6 +71,20 @@ class TestFieldParity:
         )
         _parity_case(ref_siren.SPATIALSIRENSEMANTICDISENTANGLE, cfg)
 
+    def test_spatial_siren_disentangle(self):
+        cfg = fields.get_config(
+            "SPATIALSIRENDISENTANGLE",
+            hidden_dim=32, z_geo_dim=8, z_app_dim=8,
+        )
+        _parity_case(ref_siren.SPATIALSIRENDISENTANGLE, cfg)
+
+    def test_spatial_siren_baseline_semantic(self):
+        cfg = fields.get_config(
+            "SPATIALSIRENBASELINESEMANTIC",
+            hidden_dim=32, z_geo_dim=8, z_app_dim=8,
+        )
+        _parity_case(ref_siren.SPATIALSIRENBASELINESEMANTIC, cfg)
+
     def test_texture_embedding_256_dim96(self):
         # this reference subclass hardcodes hidden_dim=256 (siren.py:1544-1546)
         cfg = fields.get_config(
