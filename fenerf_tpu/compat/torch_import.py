@@ -60,9 +60,21 @@ def field_from_torch(sd: Mapping[str, Any], cfg: FieldConfig) -> dict:
 
     params: dict[str, Any] = {
         "trunk": [_lin(sd, f"network.{i}.layer") for i in range(cfg.trunk_layers)],
-        "sigma_head": _lin(sd, "final_layer"),
         "color_head": _lin(sd, "color_layer_linear.0"),
     }
+
+    if cfg.res_sigma:
+        # RESSIRENDISENTANGLE (siren.py:982-1082)
+        params["res_coord"] = _lin(sd, "res_coord_layer")
+        params["sigma_mlp"] = [
+            _lin(sd, f"density_layer_linear.{i}") for i in range(4)
+        ]
+        params["color_pre"] = _lin(sd, "color_layer_pre.0")
+    else:
+        params["sigma_head"] = _lin(sd, "final_layer")
+        if cfg.color_pre_dim:
+            # SPATIALSIRENAUGDISENTANGLE (siren.py:928-931)
+            params["color_pre"] = _lin(sd, "color_layer_pre.0")
 
     # color branch: ModuleList of FiLM layers, or a single FiLMLayer in the
     # single-latent baselines (key color_layer_sine.layer.weight)

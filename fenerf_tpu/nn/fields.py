@@ -67,6 +67,14 @@ class FieldConfig:
     rgb_sigmoid: bool = True
     label_film: bool = False         # FiLM-conditioned label head (single-
                                      # latent semantic variants, siren.py:597+)
+    color_pre_dim: int = 0           # >0: Linear(h, d) projects the trunk
+                                     # output and REPLACES it as the color
+                                     # input (SPATIALSIRENAUGDISENTANGLE,
+                                     # siren.py:928-931,:974-976)
+    res_sigma: bool = False          # RESSIRENDISENTANGLE (siren.py:982-1082):
+                                     # residual coords = warped + Linear(h,3);
+                                     # sigma = 4 stacked Linears on them; color
+                                     # input = ray_dir ++ Linear(3,h)(coords)
     freq_scale: float = 15.0
     freq_offset: float = 30.0
     sine_w0: float = 25.0            # frequency_init constant
@@ -84,7 +92,12 @@ class FieldConfig:
 
     @property
     def color_in_dim(self) -> int:
-        d = self.hidden_dim
+        if self.res_sigma:
+            d = self.hidden_dim        # color_pre: Linear(3, h) on res coords
+        elif self.color_pre_dim:
+            d = self.color_pre_dim
+        else:
+            d = self.hidden_dim
         if self.use_ray_dir:
             d += 3
         if self.grid_channels and self.grid_to == "color":
@@ -155,6 +168,19 @@ VARIANTS: dict[str, FieldConfig] = {
     "SIRENBASELINESEMANTICDISENTANGLE_debug": _cfg(
         name="SIRENBASELINESEMANTICDISENTANGLE_debug",
         n_labels=19, label_sigmoid=True,
+    ),
+    # dual-latent, RGB-only, 8 color film layers over [ray_dir, Linear(h,3)]
+    # (augmented color branch / narrow density feature; siren.py:904-981)
+    "SPATIALSIRENAUGDISENTANGLE": _cfg(
+        name="SPATIALSIRENAUGDISENTANGLE", n_labels=0, color_layers=8,
+        label_hidden_layers=0, color_pre_dim=3,
+    ),
+    # dual-latent, RGB-only, i3DMM-style residual coordinates: sigma is a
+    # stacked-linear MLP on (warped + Linear(h,3)(trunk)); 6 color film
+    # layers over [ray_dir, Linear(3,h)(coords)] (siren.py:982-1082)
+    "RESSIRENDISENTANGLE": _cfg(
+        name="RESSIRENDISENTANGLE", n_labels=0, color_layers=6,
+        label_hidden_layers=0, res_sigma=True,
     ),
     # --- single-latent semantic variants ---
     "SPATIALSIRENSEMANTIC": _cfg(
@@ -260,10 +286,32 @@ def init_field(key: jax.Array, cfg: FieldConfig, dtype=jnp.float32) -> Params:
 
     params: dict[str, Params] = {
         "trunk": trunk,
-        "sigma_head": winit.linear(k_sigma, h, 1, freq_init, dtype=dtype),
         "color": color,
         "color_head": winit.linear(k_cout, h, cfg.rgb_dim, freq_init, dtype=dtype),
     }
+
+    if cfg.res_sigma:
+        # res_coord_layer + color_layer_pre keep torch-default init (not in
+        # the reference's frequency_init apply list, siren.py:1038-1042);
+        # density_layer_linear IS frequency-initialized
+        ks = jax.random.split(k_sigma, 6)
+        params["res_coord"] = winit.linear(
+            ks[0], h, 3, winit.torch_default_weight, dtype=dtype)
+        params["sigma_mlp"] = [
+            winit.linear(ks[1], 3, h, freq_init, dtype=dtype),
+            winit.linear(ks[2], h, h, freq_init, dtype=dtype),
+            winit.linear(ks[3], h, h, freq_init, dtype=dtype),
+            winit.linear(ks[4], h, 1, freq_init, dtype=dtype),
+        ]
+        params["color_pre"] = winit.linear(
+            ks[5], 3, h, winit.torch_default_weight, dtype=dtype)
+    else:
+        params["sigma_head"] = winit.linear(k_sigma, h, 1, freq_init, dtype=dtype)
+        if cfg.color_pre_dim:
+            # torch-default init (not in the apply list, siren.py:947-951)
+            params["color_pre"] = winit.linear(
+                jax.random.fold_in(k_sigma, 7), h, cfg.color_pre_dim,
+                winit.torch_default_weight, dtype=dtype)
 
     if cfg.label_film:
         params["label_film"] = winit.linear(
@@ -422,7 +470,18 @@ def apply_field(
         x = _film_sin(x, lyr["w"], lyr["b"], chunk(fg, i), chunk(pg, i),
                       compute_dtype)
 
-    sigma = x @ params["sigma_head"]["w"] + params["sigma_head"]["b"]
+    color_src = x
+    if cfg.res_sigma:
+        coords = x_in + (x @ params["res_coord"]["w"]
+                         + params["res_coord"]["b"])
+        sigma = coords
+        for lyr in params["sigma_mlp"]:   # stacked Linears, no activations
+            sigma = sigma @ lyr["w"] + lyr["b"]
+        color_src = coords @ params["color_pre"]["w"] + params["color_pre"]["b"]
+    else:
+        sigma = x @ params["sigma_head"]["w"] + params["sigma_head"]["b"]
+        if cfg.color_pre_dim:
+            color_src = x @ params["color_pre"]["w"] + params["color_pre"]["b"]
 
     outs = []
     color_chunk0 = 0
@@ -445,7 +504,7 @@ def apply_field(
         c_parts.append(ray_dirs)
     if grid_feats is not None and cfg.grid_to == "color":
         c_parts.append(grid_feats)
-    c_parts.append(x)
+    c_parts.append(color_src)
     c = jnp.concatenate(c_parts, axis=-1)
     for i, lyr in enumerate(params["color"]):
         c = _film_sin(c, lyr["w"], lyr["b"],

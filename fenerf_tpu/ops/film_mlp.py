@@ -49,6 +49,8 @@ def supported(cfg: FieldConfig) -> bool:
         and not (cfg.grid_channels and cfg.grid_to == "trunk")
         and not cfg.single_latent
         and not cfg.label_film
+        and not cfg.color_pre_dim
+        and not cfg.res_sigma
     )
 
 

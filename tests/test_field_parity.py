@@ -78,6 +78,22 @@ class TestFieldParity:
         )
         _parity_case(ref_siren.SPATIALSIRENDISENTANGLE, cfg)
 
+    def test_spatial_siren_aug_disentangle(self):
+        # augmented color branch over [ray_dir, Linear(h,3)] (siren.py:904)
+        cfg = fields.get_config(
+            "SPATIALSIRENAUGDISENTANGLE",
+            hidden_dim=32, z_geo_dim=8, z_app_dim=8,
+        )
+        _parity_case(ref_siren.SPATIALSIRENAUGDISENTANGLE, cfg)
+
+    def test_res_siren_disentangle(self):
+        # i3DMM-style residual coords + stacked-linear sigma (siren.py:982)
+        cfg = fields.get_config(
+            "RESSIRENDISENTANGLE",
+            hidden_dim=32, z_geo_dim=8, z_app_dim=8,
+        )
+        _parity_case(ref_siren.RESSIRENDISENTANGLE, cfg)
+
     def test_spatial_siren_baseline_semantic(self):
         cfg = fields.get_config(
             "SPATIALSIRENBASELINESEMANTIC",
