@@ -263,6 +263,12 @@ def main(argv=None):
         offset_phase_app=np.asarray(offsets["app"][1]),
     )
     np.save(os.path.join(args.save_dir, "mious.npy"), np.asarray(mious))
+    try:  # mIoU-vs-iteration figure (reference tools.py:636 plot_miou)
+        from fenerf_tpu.utils.plots import plot_miou
+
+        plot_miou(args.save_dir, log_every=20)
+    except ImportError:
+        pass  # matplotlib absent: the .npy still carries the trace
     print(f"saved {out_path}")
 
     if args.render_video:

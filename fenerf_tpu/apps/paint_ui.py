@@ -136,8 +136,13 @@ canvas.onmouseup = e => {
         labels[b*W+a] = cls;
     draw(); rect0 = null;
   }
+  if (down || tool === 'fill') logEdit();
   down = false;
 };
+function logEdit() {
+  fetch('log', {method: 'POST',
+                body: JSON.stringify({labels: Array.from(labels)})});
+}
 function save() {
   fetch('save', {method: 'POST', body: JSON.stringify(
     {labels: Array.from(labels)})}).then(r => r.text()).then(t =>
@@ -148,7 +153,7 @@ function serverOp() {
   fetch('op', {method: 'POST', body: JSON.stringify(
     {op: document.getElementById('opargs').value,
      labels: Array.from(labels)})}).then(r => r.json()).then(d => {
-    labels = new Uint8Array(d.labels); draw();
+    labels = new Uint8Array(d.labels); draw(); logEdit();
     document.getElementById('status').textContent = d.msg;
   });
 }
@@ -213,7 +218,20 @@ def make_handler(state: dict):
                 from PIL import Image
 
                 Image.fromarray(m, mode="L").save(state["out"])
+                if state.get("log_path"):
+                    state["log"].append(m.copy())
+                    np.savez_compressed(
+                        state["log_path"], frames=np.stack(state["log"]))
                 self._send(f"saved {state['out']}".encode(), "text/plain")
+            elif self.path == "/log":
+                # edit-session log: one mask snapshot per completed edit
+                # action (the reference Painter logs stroke events and
+                # replays them, Painter/converter_log_to_video.py; snapshots
+                # replay identically without a Qt event model)
+                state["mask"] = m
+                if state.get("log_path") is not None:
+                    state["log"].append(m.copy())
+                self._send(b"ok", "text/plain")
             elif self.path == "/op":
                 try:
                     m = apply_op(m, data["op"])
@@ -232,11 +250,13 @@ def make_handler(state: dict):
     return Handler
 
 
-def make_server(mask_path: str, out_path: str, port: int = 8799):
+def make_server(mask_path: str, out_path: str, port: int = 8799,
+                log_path: str | None = None):
     from PIL import Image
 
     mask = np.asarray(Image.open(mask_path).convert("L"))
-    state = {"mask": mask, "out": out_path}
+    state = {"mask": mask, "out": out_path, "log_path": log_path,
+             "log": [mask.copy()]}
     server = ThreadingHTTPServer(("127.0.0.1", port), make_handler(state))
     return server, state
 
@@ -247,9 +267,12 @@ def main(argv=None):
     p.add_argument("--out", default=None,
                    help="save path (default: <mask>_edit.png)")
     p.add_argument("--port", type=int, default=8799)
+    p.add_argument("--edit_log", default=None,
+                   help="record the edit session to this .npz (replayable "
+                        "to video via apps.edit_log_video)")
     args = p.parse_args(argv)
     out = args.out or args.mask.rsplit(".", 1)[0] + "_edit.png"
-    server, _ = make_server(args.mask, out, args.port)
+    server, _ = make_server(args.mask, out, args.port, args.edit_log)
     print(f"painting {args.mask} -> {out}")
     print(f"open http://localhost:{args.port}  (Ctrl-C to stop)")
     try:

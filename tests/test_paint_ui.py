@@ -22,7 +22,8 @@ def server(tmp_path):
     src = str(tmp_path / "mask.png")
     out = str(tmp_path / "mask_edit.png")
     Image.fromarray(mask, mode="L").save(src)
-    srv, state = make_server(src, out, port=0)  # ephemeral port
+    srv, state = make_server(src, out, port=0,  # ephemeral port
+                             log_path=str(tmp_path / "sess.editlog.npz"))
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield f"http://127.0.0.1:{srv.server_address[1]}", state, out, mask
@@ -76,6 +77,32 @@ class TestPaintUI:
         d = json.loads(_post(base + "/op", {
             "op": "bogus:1", "labels": mask.reshape(-1).tolist()}))
         assert "error" in d["msg"]
+
+    def test_edit_log_to_video(self, server, tmp_path):
+        # edit twice -> save -> replay the session log to mp4 (the
+        # reference Painter/converter_log_to_video.py workflow)
+        base, state, out, mask = server
+        e1 = mask.copy(); e1[0:2, 0:2] = 13
+        e2 = e1.copy(); e2[14:16, 14:16] = 17
+        _post(base + "/log", {"labels": e1.reshape(-1).tolist()})
+        _post(base + "/log", {"labels": e2.reshape(-1).tolist()})
+        _post(base + "/save", {"labels": e2.reshape(-1).tolist()})
+        log = str(tmp_path / "sess.editlog.npz")
+        frames = np.load(log)["frames"]
+        assert frames.shape == (4, 16, 16)  # initial + 2 edits + save
+        np.testing.assert_array_equal(frames[0], mask)
+        np.testing.assert_array_equal(frames[-1], e2)
+
+        from fenerf_tpu.apps import edit_log_video
+
+        side = str(tmp_path / "side.png")
+        Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(side)
+        mp4 = str(tmp_path / "sess.mp4")
+        edit_log_video.main(["--log", log, "--out", mp4, "--side", side,
+                             "--fps", "2", "--hold", "2"])
+        import os
+
+        assert os.path.getsize(mp4) > 0
 
     def test_apply_op_grammar(self):
         m = np.zeros((8, 8), np.uint8)

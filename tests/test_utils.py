@@ -132,3 +132,17 @@ class TestMarchingTetrahedra:
         write_ply(path, verts, faces)
         head = open(path).read(200)
         assert "element vertex" in head and "element face" in head
+
+
+class TestPlots:
+    def test_plot_miou(self, tmp_path):
+        # reference tools.py:636 plot_miou: mious.npy -> miou.png
+        import numpy as np
+
+        from fenerf_tpu.utils.plots import plot_miou
+
+        np.save(tmp_path / "mious.npy", np.linspace(0.2, 0.7, 11))
+        out = plot_miou(str(tmp_path))
+        import os
+
+        assert os.path.getsize(out) > 0
