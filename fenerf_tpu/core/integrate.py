@@ -183,6 +183,50 @@ def sample_pdf(
     return bins_below + (u - cdf_below) / denom * (bins_above - bins_below)
 
 
+def merge_fine_coarse(
+    fine_out: jax.Array,    # (..., R, S_f, C)
+    coarse_out: jax.Array,  # (..., R, S_c, C) — coarse_z SORTED along -1
+    fine_z: jax.Array,      # (..., R, S_f) arbitrary order
+    coarse_z: jax.Array,    # (..., R, S_c) sorted (ray z_vals by construction)
+) -> tuple[jax.Array, jax.Array]:
+    """merge_sorted specialized to the render pipeline: coarse_z is the ray's
+    monotone z_vals, so its within-list stable rank is just its index — the
+    (2S, 2S) comparison square collapses to S_f x S_c cross blocks plus one
+    S_f x S_f block for the (unsorted) importance samples. Output is
+    IDENTICAL to merge_sorted (stable argsort of concat [fine, coarse],
+    fine first on ties); ~2.5x fewer VPU comparisons and the permutation is
+    applied as two (S, 2S) scatter matmuls instead of one (2S, 2S).
+    """
+    sf, sc = fine_z.shape[-1], coarse_z.shape[-1]
+    s = sf + sc
+    f_i = fine_z[..., :, None]       # (..., S_f, 1)
+    c_j = coarse_z[..., None, :]     # (..., 1, S_c)
+    # fine_i's rank: within-fine stable rank + #(coarse < fine_i)
+    # (ties between lists go to fine — it precedes coarse in the concat)
+    cross_f = (c_j < f_i).astype(jnp.int32).sum(-1)
+    fj = fine_z[..., None, :]
+    lower = (fj < f_i).astype(jnp.int32)
+    j_lt_i = (jax.lax.broadcasted_iota(jnp.int32, (sf, sf), 1)
+              < jax.lax.broadcasted_iota(jnp.int32, (sf, sf), 0))
+    ties = ((fj == f_i) & j_lt_i).astype(jnp.int32)
+    rank_f = (lower + ties).sum(-1) + cross_f
+    # coarse_j's rank: its index (sorted list) + #(fine <= coarse_j)
+    cross_c = (f_i <= c_j).astype(jnp.int32).sum(-2)
+    rank_c = jax.lax.broadcasted_iota(
+        jnp.int32, coarse_z.shape, coarse_z.ndim - 1) + cross_c
+
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    oh_f = (rank_f[..., :, None] == iota_s)
+    oh_c = (rank_c[..., :, None] == iota_s)
+    zdt, odt = fine_z.dtype, fine_out.dtype
+    z_sorted = (jnp.einsum("...is,...i->...s", oh_f.astype(zdt), fine_z)
+                + jnp.einsum("...is,...i->...s", oh_c.astype(zdt), coarse_z))
+    out_sorted = (
+        jnp.einsum("...is,...ic->...sc", oh_f.astype(odt), fine_out)
+        + jnp.einsum("...is,...ic->...sc", oh_c.astype(odt), coarse_out))
+    return out_sorted, z_sorted
+
+
 def merge_sorted(
     fine_out: jax.Array,    # (..., R, S_f, C)
     coarse_out: jax.Array,  # (..., R, S_c, C)

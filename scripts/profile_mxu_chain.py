@@ -112,11 +112,11 @@ def run_wide(x, ws, tile):
     )(x, *ws)
 
 
-def timed(fn, x, *ws, label=""):
+def timed(fn, x, ws, label=""):
     @jax.jit
     def run(x0):
         def body(_, a):
-            return fn(a, *[w for w in ws])
+            return fn(a, ws)
         return jax.lax.fori_loop(0, ITERS, body, x0)
 
     try:
@@ -145,13 +145,13 @@ def main():
     res = {}
     for tile in (512, 1024, 2048, 4096):
         res[f"chain_t{tile}"] = timed(
-            functools.partial(run_chain, tile=tile), x, *ws,
+            functools.partial(run_chain, tile=tile), x, ws,
             label=f"chain_t{tile}")
     for tile in (1024, 2048, 4096):
         for ilv in (2, 4):
             res[f"ilv{ilv}_t{tile}"] = timed(
                 functools.partial(run_chain, tile=tile, interleave=ilv),
-                x, *ws, label=f"ilv{ilv}_t{tile}")
+                x, ws, label=f"ilv{ilv}_t{tile}")
 
     # wide: (N,512) x (512,512), 5 layers ~= same flops/pt as 10 narrow
     x2 = (jax.random.normal(jax.random.fold_in(k, 99), (N_PTS // 2, 2 * H))
@@ -161,7 +161,7 @@ def main():
             ).astype(jnp.bfloat16) for i in range(LAYERS // 2)]
     for tile in (1024, 2048):
         res[f"wide_t{tile}"] = timed(
-            functools.partial(run_wide, tile=tile), x2, *ws2,
+            functools.partial(run_wide, tile=tile), x2, ws2,
             label=f"wide_t{tile}")
 
     with open(os.path.join(REPO, "PROFILE_MXU.json"), "w") as f:

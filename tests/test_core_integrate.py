@@ -182,3 +182,27 @@ class TestMergeSorted:
         assert out.shape == (2, 4, 12, 3)
         assert bool(jnp.all(jnp.diff(z, axis=-1) >= 0))
         np.testing.assert_allclose(out, z[..., None] * jnp.ones(3), atol=1e-6)
+
+    def test_merge_fine_coarse_matches_general(self):
+        """The rank-based fast path (coarse sorted, fine arbitrary — the
+        render pipeline's shapes) must be bit-identical to the general
+        stable-sort merge, including tie resolution within and across
+        lists."""
+        key = jax.random.key(7)
+        for trial in range(12):
+            kk = jax.random.fold_in(key, trial)
+            cz = jnp.sort(
+                jax.random.uniform(jax.random.fold_in(kk, 0), (2, 3, 8)), -1)
+            fz = jax.random.uniform(jax.random.fold_in(kk, 1), (2, 3, 8))
+            if trial % 3 == 0:  # ties: cross-list, within-fine, within-coarse
+                fz = fz.at[..., 2].set(cz[..., 5])
+                fz = fz.at[..., 4].set(fz[..., 6])
+                cz = cz.at[..., 1].set(cz[..., 2])
+            fo = jax.random.normal(jax.random.fold_in(kk, 2), (2, 3, 8, 5))
+            co = jax.random.normal(jax.random.fold_in(kk, 3), (2, 3, 8, 5))
+            o_ref, z_ref = integ.merge_sorted(fo, co, fz, cz)
+            o_fast, z_fast = integ.merge_fine_coarse(fo, co, fz, cz)
+            np.testing.assert_array_equal(np.asarray(z_fast),
+                                          np.asarray(z_ref))
+            np.testing.assert_array_equal(np.asarray(o_fast),
+                                          np.asarray(o_ref))
