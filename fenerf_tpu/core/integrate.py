@@ -86,6 +86,35 @@ def integrate(
     return Integrated(comp=comp, depth=depth, weights=weights, weights_sum=weights_sum)
 
 
+def integrate_weights(
+    sigmas: jax.Array,     # (..., R, S)
+    z_vals: jax.Array,     # (..., R, S)
+    noise: jax.Array | None = None,
+    noise_std: float | jax.Array = 0.5,
+    clamp_mode: str = "relu",
+) -> jax.Array:
+    """Compositing weights only — the hierarchical PROPOSAL pass needs just
+    these (generators.py:483-502 discards everything else), so skip the
+    channel contraction and depth sum of the full integrate(). Numerically
+    identical to integrate(...).weights."""
+    deltas = z_vals[..., 1:] - z_vals[..., :-1]
+    deltas = jnp.concatenate(
+        [deltas, jnp.full_like(deltas[..., :1], 1e10)], axis=-1)
+    if noise is not None:
+        sigmas = sigmas + noise * noise_std
+    if clamp_mode == "softplus":
+        act = jax.nn.softplus(sigmas)
+    elif clamp_mode == "relu":
+        act = jax.nn.relu(sigmas)
+    else:
+        raise ValueError(f"unknown clamp_mode {clamp_mode!r}")
+    alphas = 1.0 - jnp.exp(-deltas * act)
+    trans = jnp.cumprod(1.0 - alphas + 1e-10, axis=-1)
+    trans = jnp.concatenate(
+        [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
+    return alphas * trans
+
+
 _FILL_VALUES = {"white": 1.0, "black": 0.0, "grey": 0.5, "light_grey": 0.81}
 
 
@@ -168,15 +197,16 @@ def sample_pdf(
     above = jnp.clip(inds, 0, m)
 
     # per-row picks as one-hot contractions — take_along_axis lowers to slow
-    # per-element gathers on TPU; these are tiny (K x M) VPU/MXU ops instead
+    # per-element gathers on TPU; these are tiny (K x M) VPU/MXU ops instead.
+    # cdf and bins share each one-hot, so pick both in ONE contraction.
     iota_m = jax.lax.broadcasted_iota(jnp.int32, (1, m + 1), 1)
     oh_below = (below[..., :, None] == iota_m).astype(cdf.dtype)
     oh_above = (above[..., :, None] == iota_m).astype(cdf.dtype)
-    pick = lambda oh, v: jnp.einsum("...km,...m->...k", oh, v)
-    cdf_below = pick(oh_below, cdf)
-    cdf_above = pick(oh_above, cdf)
-    bins_below = pick(oh_below, bins)
-    bins_above = pick(oh_above, bins)
+    cdf_bins = jnp.stack([cdf, bins], axis=-1)           # (..., M, 2)
+    pick2 = lambda oh: jnp.einsum("...km,...mc->...kc", oh, cdf_bins)
+    pb, pa = pick2(oh_below), pick2(oh_above)
+    cdf_below, bins_below = pb[..., 0], pb[..., 1]
+    cdf_above, bins_above = pa[..., 0], pa[..., 1]
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < eps, 1.0, denom)

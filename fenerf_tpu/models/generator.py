@@ -139,11 +139,11 @@ def _shade_rays(field_fn, output_dim, rcfg, origins, dirs, z_vals,
         # coarse weights drive importance resampling; no gradients flow
         # through the proposal (reference wraps this in no_grad,
         # generators.py:483-502)
-        coarse_w = integ.integrate(
-            jax.lax.stop_gradient(coarse), z_vals,
-            key=None, noise=noise.coarse, noise_std=noise_std,
+        coarse_w = integ.integrate_weights(
+            jax.lax.stop_gradient(coarse[..., -1]), z_vals,
+            noise=noise.coarse, noise_std=noise_std,
             clamp_mode=rcfg.clamp_mode,
-        ).weights
+        )
         w = jax.lax.stop_gradient(coarse_w) + 1e-5
         fine_z = integ.sample_pdf(
             None, integ.midpoints(z_vals), w[..., 1:-1], rcfg.num_steps,

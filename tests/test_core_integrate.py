@@ -183,6 +183,21 @@ class TestMergeSorted:
         assert bool(jnp.all(jnp.diff(z, axis=-1) >= 0))
         np.testing.assert_allclose(out, z[..., None] * jnp.ones(3), atol=1e-6)
 
+    def test_integrate_weights_matches_full(self):
+        """The proposal-pass fast path must equal integrate(...).weights."""
+        key = jax.random.key(3)
+        rs = jax.random.normal(key, (2, 6, 10, 5))
+        z = jnp.sort(jax.random.uniform(jax.random.fold_in(key, 1),
+                                        (2, 6, 10)), -1)
+        noise = jax.random.normal(jax.random.fold_in(key, 2), (2, 6, 10))
+        for clamp in ("relu", "softplus"):
+            full = integ.integrate(rs, z, key=None, noise=noise,
+                                   noise_std=0.7, clamp_mode=clamp)
+            wonly = integ.integrate_weights(rs[..., -1], z, noise=noise,
+                                            noise_std=0.7, clamp_mode=clamp)
+            np.testing.assert_array_equal(np.asarray(wonly),
+                                          np.asarray(full.weights))
+
     def test_merge_fine_coarse_matches_general(self):
         """The rank-based fast path (coarse sorted, fine arbitrary — the
         render pipeline's shapes) must be bit-identical to the general
