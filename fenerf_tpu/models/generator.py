@@ -152,8 +152,10 @@ def _shade_rays(field_fn, output_dim, rcfg, origins, dirs, z_vals,
         fine_pts = (origins[:, :, None, :]
                     + dirs[:, :, None, :] * fine_z[..., None])
         fine = eval_pts(fine_pts, dirs_exp)
-        # z_vals are monotone by construction -> cheaper rank-based merge
-        all_out, all_z = integ.merge_fine_coarse(fine, coarse, fine_z, z_vals)
+        # NOTE: merge_fine_coarse (rank-based, fewer comparisons) measured
+        # ~1% SLOWER here on the v5e — the (2S,2S) one-hot einsum fuses
+        # better than its two half-size scatter matmuls; keep merge_sorted
+        all_out, all_z = integ.merge_sorted(fine, coarse, fine_z, z_vals)
     else:
         all_out, all_z = coarse, z_vals
 

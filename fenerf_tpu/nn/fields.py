@@ -422,8 +422,8 @@ def apply_field(
 
         warped = points * (2.0 / cfg.box_side) if cfg.box_side else points
         gf = None
-        if cfg.grid_channels and cfg.grid_to == "color":
-            # bf16 table: the kernel quantizes gf to bf16 at the color matmul
+        if cfg.grid_channels:
+            # bf16 table: the kernel quantizes gf to bf16 at the next matmul
             # anyway; halving table bytes halves the dominant gather cost
             gf = grid_sample_3d_fast(params["grid"], warped,
                                      table_dtype=jnp.bfloat16)

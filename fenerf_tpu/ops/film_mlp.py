@@ -41,26 +41,37 @@ def _fsin(x):
 
 
 def supported(cfg: FieldConfig) -> bool:
-    """Which variants the kernel covers (others fall back to XLA)."""
+    """Variants the FORWARD kernel covers (others fall back to XLA):
+    everything except the two exotic color-branch rewirings. single_latent
+    only changes film production (fields.field_film), not the MLP;
+    label_film adds one FiLM layer on the label branch (app chunk 0);
+    grid_to='trunk' feeds grid features to the first trunk matmul."""
     if not isinstance(cfg, FieldConfig):
         return False  # latent-grid family: per-point film, XLA path
+    return not cfg.color_pre_dim and not cfg.res_sigma
+
+
+def supported_train(cfg: FieldConfig) -> bool:
+    """Variants the fused BACKWARD kernel (ops/film_mlp_grad.py) covers —
+    the production training configs; others train through XLA autodiff."""
     return (
-        cfg.use_ray_dir
+        supported(cfg)
+        and cfg.use_ray_dir
         and not (cfg.grid_channels and cfg.grid_to == "trunk")
         and not cfg.single_latent
         and not cfg.label_film
-        and not cfg.color_pre_dim
-        and not cfg.res_sigma
     )
 
 
 def _pack(params: Any, cfg: FieldConfig) -> list[jax.Array]:
     """Kernel operand order: trunk (w,b)*Lg, color (w,b)*Lc, sigma head,
-    label head linears, color head. Weights bf16, biases f32."""
+    [label_film], label head linears, color head. Weights bf16, biases f32."""
     ops = []
     layers = list(params["trunk"]) + list(params["color"])
     layers.append(params["sigma_head"])
     if cfg.n_labels:
+        if cfg.label_film:
+            layers.append(params["label_film"])
         layers += list(params["label_head"])
     layers.append(params["color_head"])
     for lyr in layers:
@@ -84,7 +95,10 @@ def film_mlp(
     b, n, _ = points.shape
     h = cfg.hidden_dim
     lg, lc = cfg.trunk_layers, cfg.color_layers
-    g = cfg.grid_channels if (cfg.grid_channels and cfg.grid_to == "color") else 0
+    g = cfg.grid_channels or 0
+    g_col = g if cfg.grid_to == "color" else 0
+    g_trunk = g if cfg.grid_to == "trunk" else 0
+    lf = 1 if (cfg.n_labels and cfg.label_film) else 0  # label FiLM layer
     assert supported(cfg), f"unsupported variant {cfg.name} for pallas path"
     tile = min(tile, n)
     pad_n = (-n) % tile
@@ -98,10 +112,12 @@ def film_mlp(
 
     fg, pg = film_geo
     fa, pa = film_app
+    # app film carries lc + lf chunks: chunk 0 conditions the label branch
+    # when label_film (reference siren.py:1359), color uses chunks lf..
     fg = (fg * cfg.freq_scale + cfg.freq_offset).reshape(b, lg, h)
     pg = jnp.reshape(pg, (b, lg, h))
-    fa = (fa * cfg.freq_scale + cfg.freq_offset).reshape(b, lc, h)
-    pa = jnp.reshape(pa, (b, lc, h))
+    fa = (fa * cfg.freq_scale + cfg.freq_offset).reshape(b, lc + lf, h)
+    pa = jnp.reshape(pa, (b, lc + lf, h))
 
     pts2 = points.reshape(b * n_padded, 3)
     dirs2 = ray_dirs.reshape(b * n_padded, 3)
@@ -141,36 +157,59 @@ def film_mlp(
             return _fsin(freq_ref[0, li][None, :] * lin(x, wi)
                          + phase_ref[0, li][None, :])
 
-        x = pts_ref[...].astype(jnp.float32)
-        for i in range(lg):
+        # trunk: first layer rows are [grid(G) | points(3)] for
+        # grid_to='trunk' (apply_field concatenates in that order)
+        if g_trunk:
+            w0t = wrefs[0][...]
+            b0t = wrefs[1][...]
+            y = jnp.dot(gf_ref[...].astype(jnp.bfloat16), w0t[:g_trunk],
+                        preferred_element_type=jnp.float32)
+            y = y + jnp.dot(pts_ref[...].astype(jnp.bfloat16),
+                            w0t[g_trunk:],
+                            preferred_element_type=jnp.float32)
+            x = _fsin(fg_ref[0, 0][None, :] * (y + b0t[None, :])
+                      + pg_ref[0, 0][None, :])
+            t0 = 1
+        else:
+            x = pts_ref[...].astype(jnp.float32)
+            t0 = 0
+        for i in range(t0, lg):
             x = film(x, i, fg_ref, pg_ref, i)
 
-        # color branch input rows: [ray_dir(3) | grid(G) | x(H)]
+        # color branch input rows: [ray_dir(3)? | grid(G)? | x(H)]
+        d = 3 if cfg.use_ray_dir else 0
         w0 = wrefs[2 * lg][...]
         b0 = wrefs[2 * lg + 1][...]
-        y = jnp.dot(dirs_ref[...].astype(jnp.bfloat16), w0[:3],
-                    preferred_element_type=jnp.float32)
-        if g:
-            y = y + jnp.dot(gf_ref[...].astype(jnp.bfloat16), w0[3:3 + g],
-                            preferred_element_type=jnp.float32)
-        y = y + jnp.dot(x.astype(jnp.bfloat16), w0[3 + g:],
+        if d:
+            y = jnp.dot(dirs_ref[...].astype(jnp.bfloat16), w0[:3],
                         preferred_element_type=jnp.float32)
-        c = _fsin(fa_ref[0, 0][None, :] * (y + b0[None, :])
-                  + pa_ref[0, 0][None, :])
+        else:
+            y = jnp.zeros((x.shape[0], w0.shape[1]), jnp.float32)
+        if g_col:
+            y = y + jnp.dot(gf_ref[...].astype(jnp.bfloat16),
+                            w0[d:d + g_col],
+                            preferred_element_type=jnp.float32)
+        y = y + jnp.dot(x.astype(jnp.bfloat16), w0[d + g_col:],
+                        preferred_element_type=jnp.float32)
+        c = _fsin(fa_ref[0, lf][None, :] * (y + b0[None, :])
+                  + pa_ref[0, lf][None, :])
         for i in range(1, lc):
-            c = film(c, lg + i, fa_ref, pa_ref, i)
+            c = film(c, lg + i, fa_ref, pa_ref, lf + i)
 
         hbase = lg + lc
         sigma = lin(x, hbase)
         outs = []
         if n_label_lin:
             lbl = x
+            if lf:
+                # label branch's own FiLM layer, app chunk 0
+                lbl = film(lbl, hbase + 1, fa_ref, pa_ref, 0)
             for j in range(n_label_lin):
-                lbl = lin(lbl, hbase + 1 + j)
+                lbl = lin(lbl, hbase + 1 + lf + j)
             if cfg.label_sigmoid:
                 lbl = jax.nn.sigmoid(lbl)
             outs.append(lbl)
-        rgb = lin(c, hbase + 1 + n_label_lin)
+        rgb = lin(c, hbase + 1 + lf + n_label_lin)
         if cfg.rgb_sigmoid:
             rgb = jax.nn.sigmoid(rgb)
         outs.append(rgb)
@@ -187,7 +226,8 @@ def film_mlp(
     in_specs = [row_spec(3), row_spec(3)]
     if g:
         in_specs.append(row_spec(g))
-    in_specs += [film_spec(lg), film_spec(lg), film_spec(lc), film_spec(lc)]
+    in_specs += [film_spec(lg), film_spec(lg),
+                 film_spec(lc + lf), film_spec(lc + lf)]
     for w in weights:
         in_specs.append(pl.BlockSpec(
             w.shape, (lambda t: (0, 0)) if w.ndim == 2 else (lambda t: (0,)),

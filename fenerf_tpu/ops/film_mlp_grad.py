@@ -74,7 +74,7 @@ def film_mlp_bwd(
     h = cfg.hidden_dim
     lg, lc = cfg.trunk_layers, cfg.color_layers
     g = cfg.grid_channels if (cfg.grid_channels and cfg.grid_to == "color") else 0
-    assert fwdmod.supported(cfg)
+    assert fwdmod.supported_train(cfg)
     tile = min(tile, n)
     pad_n = (-n) % tile
     if pad_n:

@@ -268,7 +268,7 @@ def train_step(
     # redundant on this path.
     from fenerf_tpu.ops import film_mlp as _film_ops
 
-    if jax.default_backend() == "tpu" and _film_ops.supported(fcfg):
+    if jax.default_backend() == "tpu" and _film_ops.supported_train(fcfg):
         g_rcfg = rcfg.replace(backend="pallas_train", remat=False)
     else:
         g_rcfg = rcfg

@@ -183,6 +183,15 @@ class TestMergeSorted:
         assert bool(jnp.all(jnp.diff(z, axis=-1) >= 0))
         np.testing.assert_allclose(out, z[..., None] * jnp.ones(3), atol=1e-6)
 
+    def test_sample_pdf_degenerate_one_bin(self):
+        """S=2 rays (the smoke curriculum): 1 bin, ZERO weights — every
+        importance sample must resolve to the single bin midpoint."""
+        bins = jnp.full((2, 3, 1), 0.9)
+        weights = jnp.zeros((2, 3, 0))
+        u = jax.random.uniform(jax.random.key(0), (2, 3, 4))
+        out = integ.sample_pdf(None, bins, weights, 4, u=u)
+        np.testing.assert_allclose(np.asarray(out), 0.9, rtol=1e-6)
+
     def test_integrate_weights_matches_full(self):
         """The proposal-pass fast path must equal integrate(...).weights."""
         key = jax.random.key(3)

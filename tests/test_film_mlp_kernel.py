@@ -84,9 +84,61 @@ class TestFusedKernel:
 
     def test_supported_predicate(self):
         assert ops.supported(fields.get_config("SIRENBASELINESEMANTICDISENTANGLE"))
-        assert not ops.supported(fields.get_config("TALLSIREN"))
-        assert not ops.supported(
+        # round-2 widened coverage: single-latent, label_film, grid-in-trunk
+        assert ops.supported(fields.get_config("TALLSIREN"))
+        assert ops.supported(
             fields.get_config("EmbeddingPiGAN128SEMANTICDISENTANGLE"))
+        assert ops.supported(fields.get_config("SPATIALSIRENSEMANTIC"))
+        # exotic color-branch rewirings stay on XLA
+        assert not ops.supported(
+            fields.get_config("SPATIALSIRENAUGDISENTANGLE"))
+        assert not ops.supported(fields.get_config("RESSIRENDISENTANGLE"))
+        # the fused backward covers exactly the production training set
+        assert ops.supported_train(
+            fields.get_config("SIRENBASELINESEMANTICDISENTANGLE"))
+        assert ops.supported_train(fields.get_config(
+            "TextureEmbeddingPiGAN256SEMANTICDISENTANGLE_DIM_96"))
+        assert not ops.supported_train(fields.get_config("TALLSIREN"))
+        assert not ops.supported_train(
+            fields.get_config("EmbeddingPiGAN128SEMANTICDISENTANGLE"))
+
+    @pytest.mark.parametrize("name,kw", [
+        ("SPATIALSIRENSEMANTIC", {}),          # single-latent + label_film
+        ("SPATIALSIRENSEMANTICHD", {}),        # + 64ch feature rgb
+        ("TALLSIREN", {}),                     # single-latent rgb-only
+        ("SPATIALSIRENBASELINESEMANTIC", {}),  # single-latent, plain label
+        ("TextureEmbeddingPiGAN128SEMANTICDISENTANGLE_WO_DIR",
+         {"grid_resolution": 8}),
+    ])
+    def test_new_variants_match_xla(self, name, kw):
+        cfg, params, pts, dirs, fg, fa = _setup(name, hidden_dim=32, **kw)
+        ref = fields.apply_field(params, cfg, pts, dirs, fg, fa,
+                                 compute_dtype=jnp.bfloat16)
+        out = fields.apply_field(params, cfg, pts, dirs, fg, fa,
+                                 backend="pallas")
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-2, rtol=2e-2)
+
+    def test_grid_in_trunk_matches_xla(self):
+        import dataclasses
+        cfg = fields.get_config("EmbeddingPiGAN128SEMANTICDISENTANGLE",
+                                z_geo_dim=8, z_app_dim=8, hidden_dim=32)
+        cfg = dataclasses.replace(cfg, grid_resolution=8)
+        params = fields.init_field(jax.random.key(0), cfg)
+        b, n = 2, 256
+        k = jax.random.key(1)
+        pts = jax.random.normal(jax.random.fold_in(k, 0), (b, n, 3)) * 0.1
+        dirs = jax.random.normal(jax.random.fold_in(k, 1), (b, n, 3))
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        fg, fa = fields.field_film(
+            params, cfg, jnp.ones((b, 8)) * 0.1, jnp.ones((b, 8)) * 0.2)
+        ref = fields.apply_field(params, cfg, pts, dirs, fg, fa,
+                                 compute_dtype=jnp.bfloat16)
+        out = fields.apply_field(params, cfg, pts, dirs, fg, fa,
+                                 backend="pallas")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-2, rtol=2e-2)
 
 
 class TestFusedBackward:
