@@ -1,34 +1,29 @@
-"""Can per-row async DMAs beat (or hide) the XLA gather?
+"""Scattered-row DMA gather on TPU: feasibility + rate (ROADMAP #3b).
 
-The flagship render serializes texture-gather (XLA jnp.take, ~51M 512B
-rows/s) with the fused field kernel — together 73% of render time. If a
-Pallas kernel can DMA scattered table rows from HBM while the MXU computes,
-the gather cost disappears into the matmul time. The unknown is the
-per-descriptor DMA overhead for 512B scattered rows.
+Goal: hide the flagship texture gather (34% of render, XLA jnp.take at
+~51M 512B-rows/s, serialized with compute) under the field kernel's MXU
+time by DMA-ing rows inside a Pallas kernel.
 
-Measurement notes (hard-won on this tunneled runtime):
-  * the runtime ELIDES a dispatch repeated with identical arguments — every
-    timed call gets fresh index data;
-  * iterations chain through a per-element data dependency (next indices
-    derive from every gathered byte), so nothing can be sliced or hoisted;
-  * per-iter time = (dt_16iters - dt_8iters) / 8 — the ~9-30ms dispatch
-    overhead cancels;
-  * the table is a jit ARGUMENT (closing over it embeds 448MB of literals
-    in the HLO -> remote-compile HTTP 413).
+Constraints discovered on hardware:
+  * HBM slices must be 8-sublane aligned -> table stored as (ROWS, 8, 128)
+    padded tiles (one row = one legal 2KB DMA; channels live in sublanes
+    0-1, consumed by two 128-wide matmuls — no relayout);
+  * UNBOUNDED outstanding DMAs (start all, wait all) wedge the device; a
+    rotating ring of DMA semaphores with <= RING in flight is stable
+    (/tmp/dma_min3.py pattern, verified correct vs numpy);
+  * identical-arg dispatches are elided by the tunneled runtime, and
+    dispatch overhead is ~9-30ms -> fresh args per timed call, per-element
+    data deps, (dt16 - dt8)/8 timing.
 
-Variants:
-  dma_gather    grid over point tiles; per tile issue TILE row DMAs
-                (scalar-prefetched indices) into the VMEM output block,
-                then wait — pure DMA-gather rate
-  xla_gather    jnp.take at the same shapes
-  chain_only    11-layer Pallas bf16 matmul chain (the MXU reference)
-  dma_overlap   DMA starts + the 11-layer chain + waits in ONE kernel:
-                if per-descriptor cost is low the gather hides under MXU
+Variants: ring_dma_r{R}   pure ring-DMA gather rate, ring size R
+          xla_take        jnp.take at identical shapes (2KB rows)
+          ring_overlap    ring gather + 11-layer bf16 chain in ONE kernel
 
-Writes PROFILE_DMA.json. Run alone (one TPU process at a time).
+Writes PROFILE_DMA.json.  Run alone (one TPU process at a time).
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -47,8 +42,7 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 ROWS = 97 * 97 * 97
-C = 256
-N = 1 << 19
+N = 1 << 18
 TILE = 1024
 LAYERS = 11
 H = 256
@@ -58,9 +52,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def dma_gather(table, idx, ws=None, overlap=False):
+def ring_dma_gather(table, idx, ring=64, ws=None, overlap=False):
     n = idx.shape[0]
-    tiles = n // TILE
     n_w = len(ws) if ws is not None else 0
 
     def kernel(idx_ref, *refs):
@@ -69,17 +62,24 @@ def dma_gather(table, idx, ws=None, overlap=False):
         x_ref = refs[1 + n_w]
         out_ref = refs[2 + n_w]
         act_ref = refs[3 + n_w] if overlap else None
-        sem = refs[-1]
+        sems = refs[-1]
         t = pl.program_id(0)
 
-        def start_one(i, _):
+        def body(i, _):
+            @pl.when(i >= ring)
+            def _wait_prev():
+                r_prev = idx_ref[t * TILE + i - ring]
+                pltpu.make_async_copy(
+                    table_ref.at[pl.ds(r_prev, 1)],
+                    out_ref.at[pl.ds(i - ring, 1)],
+                    sems.at[i % ring]).wait()
             r = idx_ref[t * TILE + i]
             pltpu.make_async_copy(
-                table_ref.at[pl.ds(r, 1)], out_ref.at[pl.ds(i, 1)], sem
-            ).start()
+                table_ref.at[pl.ds(r, 1)], out_ref.at[pl.ds(i, 1)],
+                sems.at[i % ring]).start()
             return 0
 
-        jax.lax.fori_loop(0, TILE, start_one, 0)
+        jax.lax.fori_loop(0, TILE, body, 0)
 
         if overlap:
             a = x_ref[...]
@@ -89,65 +89,38 @@ def dma_gather(table, idx, ws=None, overlap=False):
                             ).astype(jnp.bfloat16)
             act_ref[...] = a
 
-        def wait_one(i, _):
+        def drain(i, _):
             pltpu.make_async_copy(
-                table_ref.at[pl.ds(0, 1)], out_ref.at[pl.ds(0, 1)], sem
-            ).wait()
+                table_ref.at[pl.ds(0, 1)], out_ref.at[pl.ds(0, 1)],
+                sems.at[i]).wait()
             return 0
 
-        jax.lax.fori_loop(0, TILE, wait_one, 0)
+        jax.lax.fori_loop(0, ring, drain, 0)
 
-    out_shapes = [jax.ShapeDtypeStruct((n, C), jnp.bfloat16)]
-    out_specs = [pl.BlockSpec((TILE, C), lambda t, *_: (t, 0),
+    out_shapes = [jax.ShapeDtypeStruct((n, 8, 128), jnp.bfloat16)]
+    out_specs = [pl.BlockSpec((TILE, 8, 128), lambda t, *_: (t, 0, 0),
                               memory_space=pltpu.VMEM)]
     if overlap:
         out_shapes.append(jax.ShapeDtypeStruct((n, H), jnp.bfloat16))
         out_specs.append(pl.BlockSpec((TILE, H), lambda t, *_: (t, 0),
                                       memory_space=pltpu.VMEM))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
+    gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(tiles,),
+        grid=(n // TILE,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec((H, H), lambda t, *_: (0, 0),
                         memory_space=pltpu.VMEM) for _ in range(n_w)]
         + [pl.BlockSpec((TILE, H), lambda t, *_: (t, 0),
                         memory_space=pltpu.VMEM)],
         out_specs=out_specs,
-        scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((ring,))],
     )
     x = jnp.zeros((n, H), jnp.bfloat16)
     args = (idx, table) + tuple(ws or ()) + (x,)
-    out = pl.pallas_call(
-        kernel, grid_spec=grid_spec, out_shape=tuple(out_shapes),
-    )(*args)
+    out = pl.pallas_call(kernel, grid_spec=gs,
+                         out_shape=tuple(out_shapes))(*args)
     return out[0]
-
-
-def chain_only(x, ws):
-    tiles = x.shape[0] // TILE
-
-    def kernel(x_ref, *refs):
-        wrefs = refs[:-1]
-        out_ref = refs[-1]
-        a = x_ref[...]
-        for i in range(len(ws)):
-            a = jnp.dot(a, wrefs[i][...],
-                        preferred_element_type=jnp.float32
-                        ).astype(jnp.bfloat16)
-        out_ref[...] = a
-
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.bfloat16),
-        grid=(tiles,),
-        in_specs=[pl.BlockSpec((TILE, H), lambda t: (t, 0),
-                               memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec((H, H), lambda t: (0, 0), memory_space=pltpu.VMEM)
-           for _ in ws],
-        out_specs=pl.BlockSpec((TILE, H), lambda t: (t, 0),
-                               memory_space=pltpu.VMEM),
-    )(x, *ws)
 
 
 def timed(gather_fn, table, label):
@@ -156,8 +129,8 @@ def timed(gather_fn, table, label):
         def run(tbl, idx0):
             def body(_, i):
                 rows = gather_fn(tbl, i)
-                # every element of every row feeds the next indices
-                step = rows.astype(jnp.float32).sum(-1).astype(jnp.int32)
+                step = (rows[:, :2, :].astype(jnp.float32)
+                        .sum((-1, -2)).astype(jnp.int32))
                 return jnp.abs(i + 1 + step) % ROWS
             return jax.lax.fori_loop(0, iters, body, idx0)
         return run
@@ -167,13 +140,13 @@ def timed(gather_fn, table, label):
     mk = lambda s: jax.random.randint(jax.random.fold_in(k, s), (N,), 0,
                                       ROWS, dtype=jnp.int32)
     try:
-        run8(table, mk(0)).block_until_ready()    # compile 8
-        run16(table, mk(1)).block_until_ready()   # compile 16
+        float(jnp.sum(run8(table, mk(0))))
+        float(jnp.sum(run16(table, mk(1))))
         t0 = time.perf_counter()
-        run8(table, mk(2)).block_until_ready()
+        float(jnp.sum(run8(table, mk(2))))
         dt8 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        run16(table, mk(3)).block_until_ready()
+        float(jnp.sum(run16(table, mk(3))))
         dt16 = time.perf_counter() - t0
     except Exception as e:
         log(f"{label}: FAILED {type(e).__name__}: {str(e)[:300]}")
@@ -184,49 +157,23 @@ def timed(gather_fn, table, label):
     return round(N / dt / 1e6, 1)
 
 
-def timed_chain(table, ws, label):
-    def make_run(iters):
-        @jax.jit
-        def run(tbl, x0):
-            def body(_, x):
-                return chain_only(x, ws)
-            return jax.lax.fori_loop(0, iters, body, x0)
-        return run
-
-    run8, run16 = make_run(8), make_run(16)
-    k = jax.random.key(3)
-    mk = lambda s: (jax.random.normal(jax.random.fold_in(k, s), (N, H))
-                    * 0.1).astype(jnp.bfloat16)
-    run8(table, mk(0)).block_until_ready()
-    run16(table, mk(1)).block_until_ready()
-    t0 = time.perf_counter()
-    run8(table, mk(2)).block_until_ready()
-    dt8 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run16(table, mk(3)).block_until_ready()
-    dt16 = time.perf_counter() - t0
-    dt = (dt16 - dt8) / 8
-    log(f"{label}: {dt * 1e3:.2f} ms/iter (dt8 {dt8 * 1e3:.0f} dt16 "
-        f"{dt16 * 1e3:.0f}), {N / dt / 1e6:.1f} Mrows/s")
-    return round(N / dt / 1e6, 1)
-
-
 def main():
     log(f"devices: {jax.devices()}")
     k = jax.random.key(0)
-    table = jax.random.normal(k, (ROWS, C), dtype=jnp.bfloat16)
+    table = jax.random.normal(k, (ROWS, 8, 128), dtype=jnp.bfloat16)
     ws = [(jax.random.normal(jax.random.fold_in(k, 10 + i), (H, H))
            / jnp.sqrt(H)).astype(jnp.bfloat16) for i in range(LAYERS)]
 
     res = {}
-    res["xla_gather"] = timed(lambda t, i: jnp.take(t, i, axis=0), table,
-                              "xla_gather")
-    res["dma_gather"] = timed(lambda t, i: dma_gather(t, i), table,
-                              "dma_gather")
-    res["chain_only"] = timed_chain(table, ws, "chain_only")
-    res["dma_overlap"] = timed(
-        lambda t, i: dma_gather(t, i, ws=ws, overlap=True), table,
-        "dma_overlap")
+    for ring in (16, 64, 128):
+        res[f"ring_dma_r{ring}"] = timed(
+            functools.partial(ring_dma_gather, ring=ring), table,
+            f"ring_dma_r{ring}")
+    res["xla_take"] = timed(
+        lambda t, i: jnp.take(t, i, axis=0), table, "xla_take")
+    res["ring_overlap_r128"] = timed(
+        functools.partial(ring_dma_gather, ring=128, ws=ws, overlap=True),
+        table, "ring_overlap_r128")
 
     with open(os.path.join(REPO, "PROFILE_DMA.json"), "w") as f:
         json.dump(res, f, indent=1)
