@@ -53,12 +53,13 @@ def supported(cfg: FieldConfig) -> bool:
 
 def supported_train(cfg: FieldConfig) -> bool:
     """Variants the fused BACKWARD kernel (ops/film_mlp_grad.py) covers —
-    the production training configs; others train through XLA autodiff."""
+    the production training configs plus the single-latent pi-GAN baselines
+    (single_latent only changes film PRODUCTION, which differentiates
+    outside the kernel); others train through XLA autodiff."""
     return (
         supported(cfg)
         and cfg.use_ray_dir
         and not (cfg.grid_channels and cfg.grid_to == "trunk")
-        and not cfg.single_latent
         and not cfg.label_film
     )
 

@@ -53,6 +53,9 @@ def log(*a):
 
 
 def ring_dma_gather(table, idx, ring=64, ws=None, overlap=False):
+    """idx lives in HBM (a full-array scalar-prefetch of >256K indices
+    overflows the 1MB SMEM); each grid step first DMAs its (TILE,) index
+    block into SMEM scratch, then ring-DMAs the rows."""
     n = idx.shape[0]
     n_w = len(ws) if ws is not None else 0
 
@@ -62,18 +65,23 @@ def ring_dma_gather(table, idx, ring=64, ws=None, overlap=False):
         x_ref = refs[1 + n_w]
         out_ref = refs[2 + n_w]
         act_ref = refs[3 + n_w] if overlap else None
-        sems = refs[-1]
+        idx_smem, sems, idx_sem = refs[-3:]
         t = pl.program_id(0)
+
+        idx_cp = pltpu.make_async_copy(
+            idx_ref.at[pl.ds(t * TILE, TILE)], idx_smem, idx_sem)
+        idx_cp.start()
+        idx_cp.wait()
 
         def body(i, _):
             @pl.when(i >= ring)
             def _wait_prev():
-                r_prev = idx_ref[t * TILE + i - ring]
+                r_prev = idx_smem[i - ring]
                 pltpu.make_async_copy(
                     table_ref.at[pl.ds(r_prev, 1)],
                     out_ref.at[pl.ds(i - ring, 1)],
                     sems.at[i % ring]).wait()
-            r = idx_ref[t * TILE + i]
+            r = idx_smem[i]
             pltpu.make_async_copy(
                 table_ref.at[pl.ds(r, 1)], out_ref.at[pl.ds(i, 1)],
                 sems.at[i % ring]).start()
@@ -98,28 +106,30 @@ def ring_dma_gather(table, idx, ring=64, ws=None, overlap=False):
         jax.lax.fori_loop(0, ring, drain, 0)
 
     out_shapes = [jax.ShapeDtypeStruct((n, 8, 128), jnp.bfloat16)]
-    out_specs = [pl.BlockSpec((TILE, 8, 128), lambda t, *_: (t, 0, 0),
+    out_specs = [pl.BlockSpec((TILE, 8, 128), lambda t: (t, 0, 0),
                               memory_space=pltpu.VMEM)]
     if overlap:
         out_shapes.append(jax.ShapeDtypeStruct((n, H), jnp.bfloat16))
-        out_specs.append(pl.BlockSpec((TILE, H), lambda t, *_: (t, 0),
+        out_specs.append(pl.BlockSpec((TILE, H), lambda t: (t, 0),
                                       memory_space=pltpu.VMEM))
 
-    gs = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n // TILE,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
-        + [pl.BlockSpec((H, H), lambda t, *_: (0, 0),
-                        memory_space=pltpu.VMEM) for _ in range(n_w)]
-        + [pl.BlockSpec((TILE, H), lambda t, *_: (t, 0),
-                        memory_space=pltpu.VMEM)],
-        out_specs=out_specs,
-        scratch_shapes=[pltpu.SemaphoreType.DMA((ring,))],
-    )
     x = jnp.zeros((n, H), jnp.bfloat16)
     args = (idx, table) + tuple(ws or ()) + (x,)
-    out = pl.pallas_call(kernel, grid_spec=gs,
-                         out_shape=tuple(out_shapes))(*args)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // TILE,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec((H, H), lambda t: (0, 0),
+                        memory_space=pltpu.VMEM) for _ in range(n_w)]
+        + [pl.BlockSpec((TILE, H), lambda t: (t, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.SMEM((TILE,), jnp.int32),
+                        pltpu.SemaphoreType.DMA((ring,)),
+                        pltpu.SemaphoreType.DMA(())],
+        out_shape=tuple(out_shapes),
+    )(*args)
     return out[0]
 
 

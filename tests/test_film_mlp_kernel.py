@@ -98,9 +98,11 @@ class TestFusedKernel:
             fields.get_config("SIRENBASELINESEMANTICDISENTANGLE"))
         assert ops.supported_train(fields.get_config(
             "TextureEmbeddingPiGAN256SEMANTICDISENTANGLE_DIM_96"))
-        assert not ops.supported_train(fields.get_config("TALLSIREN"))
+        assert ops.supported_train(fields.get_config("TALLSIREN"))
         assert not ops.supported_train(
             fields.get_config("EmbeddingPiGAN128SEMANTICDISENTANGLE"))
+        assert not ops.supported_train(
+            fields.get_config("SPATIALSIRENSEMANTIC"))  # label_film
 
     @pytest.mark.parametrize("name,kw", [
         ("SPATIALSIRENSEMANTIC", {}),          # single-latent + label_film
@@ -192,6 +194,19 @@ class TestFusedBackward:
             "TextureEmbeddingPiGAN256SEMANTICDISENTANGLE_DIM_96")
         cfg = dataclasses.replace(cfg, grid_resolution=8)
         params = fields.init_field(jax.random.key(0), cfg)
+        self._compare_grads(cfg, params, pts, dirs, zg, za)
+
+    @pytest.mark.parametrize("name", [
+        "SPATIALSIRENBASELINE",          # reference CelebA curriculum model
+        "TALLSIREN",                     # box_side=0 (no warp)
+        "SPATIALSIRENBASELINESEMANTIC",  # single-latent + label head
+    ])
+    def test_grads_match_single_latent(self, name):
+        """single_latent only changes film production (differentiated
+        outside the kernel) — the fused VJP must serve the pi-GAN baseline
+        training configs too."""
+        cfg, params, pts, dirs, zg, za = self._grad_setup(name)
+        assert ops.supported_train(cfg)
         self._compare_grads(cfg, params, pts, dirs, zg, za)
 
     def test_forward_value_matches(self):
