@@ -175,15 +175,22 @@ def main():
            / jnp.sqrt(H)).astype(jnp.bfloat16) for i in range(LAYERS)]
 
     res = {}
-    for ring in (16, 64, 128):
+    rings = (16, 64, 128) if os.environ.get("FENERF_DMA_ESC") != "1" \
+        else (256, 512)
+    for ring in rings:
         res[f"ring_dma_r{ring}"] = timed(
             functools.partial(ring_dma_gather, ring=ring), table,
             f"ring_dma_r{ring}")
-    res["xla_take"] = timed(
-        lambda t, i: jnp.take(t, i, axis=0), table, "xla_take")
-    res["ring_overlap_r128"] = timed(
-        functools.partial(ring_dma_gather, ring=128, ws=ws, overlap=True),
-        table, "ring_overlap_r128")
+    if os.environ.get("FENERF_DMA_ESC") == "1":
+        res["ring_overlap_r256"] = timed(
+            functools.partial(ring_dma_gather, ring=256, ws=ws,
+                              overlap=True), table, "ring_overlap_r256")
+    else:
+        res["xla_take"] = timed(
+            lambda t, i: jnp.take(t, i, axis=0), table, "xla_take")
+        res["ring_overlap_r128"] = timed(
+            functools.partial(ring_dma_gather, ring=128, ws=ws,
+                              overlap=True), table, "ring_overlap_r128")
 
     with open(os.path.join(REPO, "PROFILE_DMA.json"), "w") as f:
         json.dump(res, f, indent=1)
