@@ -20,7 +20,10 @@ def main(argv=None):
     p.add_argument("output")
     p.add_argument("--op", action="append", default=[],
                    help="remove:CLS[:FILL] | switch:A:B | scale:CLS:FACTOR | "
-                        "rect:CLS:x0:y0:x1:y1 | simplify")
+                        "rect:CLS:x0:y0:x1:y1 | simplify | "
+                        "transfer:CLS[,CLS..]:REF.png[:DY:DX] (paste CLS "
+                        "regions from another mask, reference tools.py "
+                        "switch_semantic :499)")
     p.add_argument("--colorize", action="store_true",
                    help="also write a palette-colorized preview")
     args = p.parse_args(argv)
@@ -49,6 +52,12 @@ def main(argv=None):
             x0, y0, x1, y1 = map(int, parts[2:6])
             region[y0:y1, x0:x1] = True
             mask = mt.add_semantic(mask, cls(parts[1]), region)
+        elif kind == "transfer":
+            labels = tuple(cls(c) for c in parts[1].split(","))
+            ref = np.asarray(Image.open(parts[2]).convert("L"))
+            dy = int(parts[3]) if len(parts) > 3 else 0
+            dx = int(parts[4]) if len(parts) > 4 else 0
+            mask = mt.transfer_semantic(mask, ref, labels, (dy, dx))
         elif kind == "simplify":
             mask = mt.simplify_mask(mask)
         else:

@@ -33,11 +33,42 @@ def remove_semantic(mask: np.ndarray, label: int,
 
 
 def switch_semantic(mask: np.ndarray, a: int, b: int) -> np.ndarray:
-    """Swap two classes (reference switch_semantic)."""
+    """Swap two classes."""
     out = np.asarray(mask).copy()
     ma, mb = out == a, out == b
     out[ma] = b
     out[mb] = a
+    return out
+
+
+def transfer_semantic(
+    target: np.ndarray,
+    reference: np.ndarray,
+    labels: tuple[int, ...],
+    offset_xy: tuple[int, int] = (0, 0),
+    erase_fill: int = LABELS["skin"],
+    keep_on_top: tuple[int, ...] = (LABELS["hair"],),
+) -> np.ndarray:
+    """Cross-mask attribute transfer (reference tools.py switch_semantic
+    :499-548): erase `labels` from the target (-> erase_fill), paste the
+    reference mask's `labels` regions shifted by (dy, dx) = offset_xy
+    (clipped at the border), then repaint `keep_on_top` classes from the
+    original target so e.g. hair keeps occluding a transplanted brow."""
+    tar = np.asarray(target)
+    ref = np.asarray(reference)
+    out = tar.copy()
+    h, w = out.shape[:2]
+    for lab in labels:
+        out[tar == lab] = erase_fill
+    top = [(lab, np.where(tar == lab)) for lab in keep_on_top]
+    dy, dx = offset_xy
+    for lab in labels:
+        ys, xs = np.where(ref == lab)
+        ys = np.clip(ys + dy, 0, h - 1)
+        xs = np.clip(xs + dx, 0, w - 1)
+        out[ys, xs] = lab
+        for lab_top, (ty, tx) in top:
+            out[ty, tx] = lab_top
     return out
 
 

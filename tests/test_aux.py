@@ -121,6 +121,26 @@ class TestMaskTools:
         sw = mt.switch_semantic(m, 13, 1)
         assert (sw == 13).sum() == 1 and (sw == 1).sum() == 2
 
+    def test_transfer_semantic(self):
+        """Reference tools.py switch_semantic :499-548: erase-then-paste a
+        class region from another mask with a spatial offset; hair stays
+        on top."""
+        tar = np.ones((8, 8), np.uint8)          # all skin
+        tar[0:2, :] = 13                         # hair band on top rows
+        tar[5, 5] = 6                            # target's own l_brow
+        ref = np.ones((8, 8), np.uint8)
+        ref[2, 2] = 6                            # reference l_brow at (2,2)
+        out = mt.transfer_semantic(tar, ref, labels=(6,), offset_xy=(1, 3))
+        assert out[5, 5] == 1                    # target's brow erased
+        assert out[3, 5] == 6                    # pasted at (2+1, 2+3)
+        assert (out[0:2] == 13).all()            # hair untouched
+        # paste landing under hair is occluded by hair (keep_on_top)
+        out2 = mt.transfer_semantic(tar, ref, labels=(6,), offset_xy=(-1, 0))
+        assert out2[1, 2] == 13
+        # border clipping: offsets beyond the mask clamp to the last cell
+        out3 = mt.transfer_semantic(tar, ref, labels=(6,), offset_xy=(99, 99))
+        assert out3[7, 7] == 6
+
     def test_add_semantic(self):
         m = np.zeros((4, 4), np.uint8)
         region = np.zeros((4, 4), bool)
