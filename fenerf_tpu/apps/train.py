@@ -257,7 +257,8 @@ def main(argv=None):
 
         step += 1
 
-        if host_index == 0 and step % args.model_save_interval == 0:
+        if (host_index == 0 and args.model_save_interval > 0
+                and step % args.model_save_interval == 0):
             ckpt.save(os.path.join(args.output_dir, "train_state.npz"), state)
             # m.field_overrides carries the effective overrides (CLI ones
             # replace the curriculum's in meta_at)
@@ -273,7 +274,8 @@ def main(argv=None):
                 state.g_params, state.ema.params, state.ema2.params,
                 m.model, step, field_kwargs=fkw,
             )
-        if host_index == 0 and step % args.sample_interval == 0:
+        if (host_index == 0 and args.sample_interval > 0
+                and step % args.sample_interval == 0):
             sample_grids(jax.device_get(state), m, step)
 
         if args.eval_freq > 0 and step % args.eval_freq == 0:
