@@ -64,21 +64,39 @@ def time_render(rcfg, params, fcfg, film_g, film_a, label):
     return dt, pts
 
 
-def in_dispatch(fn, carry0, label, iters=32):
-    """Loop fn inside ONE dispatch with a data dependency; returns s/iter."""
-    @jax.jit
-    def run(c0):
-        def body(_, c):
-            return fn(c)
-        return jax.lax.fori_loop(0, iters, body, c0)
+def in_dispatch(fn, carry0, label, iters=8, consts=()):
+    """Time fn per-iteration with the elision-proof protocol: the tunneled
+    runtime caches a dispatch repeated with identical args, so each timed
+    call perturbs the carry, and per-iter = (dt_2k - dt_k) / k cancels the
+    ~9-30ms dispatch overhead. Large operands go in `consts` and ride as
+    jit ARGUMENTS (closed-over arrays become HLO literals, which the
+    remote compile server rejects past ~100MB)."""
+    def make_run(k_iters):
+        @jax.jit
+        def run(c0, *cs):
+            def body(_, c):
+                return fn(c, *cs)
+            return jax.lax.fori_loop(0, k_iters, body, c0)
+        return run
 
-    out = run(carry0)
-    jax.tree.map(lambda t: t.block_until_ready(), out)
+    runa, runb = make_run(iters), make_run(2 * iters)
+    perturb = lambda s: jax.tree.map(lambda t: t + 1e-6 * s, carry0)
+
+    def once(r, c):
+        out = r(c, *consts)
+        jax.tree.map(lambda t: float(jnp.sum(t)), out)
+
+    once(runa, perturb(1.0))
+    once(runb, perturb(2.0))
     t0 = time.perf_counter()
-    out = run(carry0)
-    jax.tree.map(lambda t: float(jnp.sum(t)), out)
-    dt = (time.perf_counter() - t0) / iters
-    log(f"{label}: {dt * 1e3:.2f} ms/iter in-dispatch")
+    once(runa, perturb(3.0))
+    dta = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    once(runb, perturb(4.0))
+    dtb = time.perf_counter() - t0
+    dt = (dtb - dta) / iters
+    log(f"{label}: {dt * 1e3:.2f} ms/iter in-dispatch "
+        f"(dt{iters} {dta * 1e3:.0f} dt{2 * iters} {dtb * 1e3:.0f})")
     return dt
 
 
@@ -134,40 +152,66 @@ def main():
 
     n_blocks = IMG * IMG // CHUNK
 
-    def merge_fn(carry):
-        o, z = integ.merge_sorted(out24 + carry[..., None, None],
-                                  out24b, z24, z24b)
+    # big operands ride as jit ARGS via the consts tuple (closing over them
+    # embeds 100s of MB of literals in the HLO -> remote-compile HTTP 413)
+    def merge_fn(carry, o24, o24b, za, zb):
+        o, z = integ.merge_sorted(o24 + carry[..., None, None],
+                                  o24b, za, zb)
         return carry + o[..., 0, 0] * 1e-12
 
-    dt = in_dispatch(merge_fn, jnp.zeros((b, rb)), "merge_sorted")
+    dt = in_dispatch(merge_fn, jnp.zeros((b, rb)), "merge_sorted",
+                     consts=(out24, out24b, z24, z24b))
     res["merge_ms_per_render"] = dt * 1e3 * n_blocks
 
-    def pdf_fn(carry):
-        fz = integ.sample_pdf(None, integ.midpoints(z24),
-                              w + carry[..., None] * 1e-12, s, u=u)
+    def merge2_fn(carry, o24, o24b, za, zb):
+        o, z = integ.merge_fine_coarse(o24 + carry[..., None, None],
+                                       o24b, za, zb)
+        return carry + o[..., 0, 0] * 1e-12
+
+    dt = in_dispatch(merge2_fn, jnp.zeros((b, rb)), "merge_fine_coarse",
+                     consts=(out24, out24b, z24, z24b))
+    res["merge_fc_ms_per_render"] = dt * 1e3 * n_blocks
+
+    def pdf_fn(carry, za, ww, uu):
+        fz = integ.sample_pdf(None, integ.midpoints(za),
+                              ww + carry[..., None] * 1e-12, s, u=uu)
         return carry + fz[..., 0] * 1e-12
 
-    dt = in_dispatch(pdf_fn, jnp.zeros((b, rb)), "sample_pdf")
+    dt = in_dispatch(pdf_fn, jnp.zeros((b, rb)), "sample_pdf",
+                     consts=(z24, w, u))
     res["sample_pdf_ms_per_render"] = dt * 1e3 * n_blocks
 
     allout = jnp.concatenate([out24, out24b], axis=-2)
     allz = jnp.sort(jnp.concatenate([z24, z24b], axis=-1), axis=-1)
 
-    def integ_fn(carry):
-        r = integ.integrate(allout + carry[..., None, None], allz, key=None,
-                            noise=n48, noise_std=0.0)
+    def integ_fn(carry, ao, az, nn):
+        r = integ.integrate(ao + carry[..., None, None], az, key=None,
+                            noise=nn, noise_std=0.0)
         return carry + r.comp[..., 0] * 1e-12
 
-    dt = in_dispatch(integ_fn, jnp.zeros((b, rb)), "integrate-48")
+    dt = in_dispatch(integ_fn, jnp.zeros((b, rb)), "integrate-48",
+                     consts=(allout, allz, n48))
     res["integrate48_ms_per_render"] = dt * 1e3 * n_blocks
 
-    def integ24_fn(carry):
-        r = integ.integrate(out24 + carry[..., None, None], z24, key=None,
-                            noise=n48[..., :s], noise_std=0.0)
+    def integ24_fn(carry, o24, za, nn):
+        r = integ.integrate(o24 + carry[..., None, None], za, key=None,
+                            noise=nn, noise_std=0.0)
         return carry + r.comp[..., 0] * 1e-12
 
-    dt = in_dispatch(integ24_fn, jnp.zeros((b, rb)), "integrate-24 (proposal)")
+    dt = in_dispatch(integ24_fn, jnp.zeros((b, rb)),
+                     "integrate-24 (proposal)",
+                     consts=(out24, z24, n48[..., :s]))
     res["integrate24_ms_per_render"] = dt * 1e3 * n_blocks
+
+    def weights24_fn(carry, o24, za, nn):
+        ww2 = integ.integrate_weights(o24[..., -1] + carry[..., None],
+                                      za, noise=nn, noise_std=0.0)
+        return carry + ww2[..., 0] * 1e-12
+
+    dt = in_dispatch(weights24_fn, jnp.zeros((b, rb)),
+                     "integrate_weights-24",
+                     consts=(out24, z24, n48[..., :s]))
+    res["integrate_weights24_ms_per_render"] = dt * 1e3 * n_blocks
 
     path = os.path.join(REPO, "PROFILE_RENDER.json")
     merged = {}
