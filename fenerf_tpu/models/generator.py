@@ -152,18 +152,22 @@ def _shade_rays(field_fn, output_dim, rcfg, origins, dirs, z_vals,
         fine_pts = (origins[:, :, None, :]
                     + dirs[:, :, None, :] * fine_z[..., None])
         fine = eval_pts(fine_pts, dirs_exp)
-        # NOTE: merge_fine_coarse (rank-based, fewer comparisons) measured
-        # ~1% SLOWER here on the v5e — the (2S,2S) one-hot einsum fuses
-        # better than its two half-size scatter matmuls; keep merge_sorted
-        all_out, all_z = integ.merge_sorted(fine, coarse, fine_z, z_vals)
+        # merge + integrate WITHOUT materializing the sorted channel
+        # tensor (451ms of the batch-64 render per PROFILE_HIER.json):
+        # only z/sigma are permuted; weights come back unsorted
+        res = integ.composite_merged(
+            fine, coarse, fine_z, z_vals,
+            noise=noise.final, noise_std=noise_std,
+            clamp_mode=rcfg.clamp_mode, last_back=rcfg.last_back,
+            white_back=rcfg.white_back, black_back=rcfg.black_back,
+        )
     else:
-        all_out, all_z = coarse, z_vals
-
-    res = integ.integrate(
-        all_out, all_z, key=None, noise=noise.final, noise_std=noise_std,
-        clamp_mode=rcfg.clamp_mode, last_back=rcfg.last_back,
-        white_back=rcfg.white_back, black_back=rcfg.black_back,
-    )
+        res = integ.integrate(
+            coarse, z_vals, key=None, noise=noise.final,
+            noise_std=noise_std,
+            clamp_mode=rcfg.clamp_mode, last_back=rcfg.last_back,
+            white_back=rcfg.white_back, black_back=rcfg.black_back,
+        )
     comp = integ.apply_fill(res.comp, res.weights_sum, rcfg.fill_mode,
                             rcfg.fill_color)
     return comp, res.depth, res.weights_sum

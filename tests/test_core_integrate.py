@@ -207,6 +207,30 @@ class TestMergeSorted:
             np.testing.assert_array_equal(np.asarray(wonly),
                                           np.asarray(full.weights))
 
+    def test_composite_merged_matches_merge_then_integrate(self):
+        """The no-channel-permute compositing must equal
+        integrate(*merge_sorted(...)) up to f32 summation order."""
+        key = jax.random.key(11)
+        cz = jnp.sort(jax.random.uniform(key, (2, 5, 8)), -1)
+        fz = jax.random.uniform(jax.random.fold_in(key, 1), (2, 5, 8))
+        fo = jax.random.normal(jax.random.fold_in(key, 2), (2, 5, 8, 6))
+        co = jax.random.normal(jax.random.fold_in(key, 3), (2, 5, 8, 6))
+        noise = jax.random.normal(jax.random.fold_in(key, 4), (2, 5, 16))
+        for kw in (dict(), dict(last_back=True), dict(white_back=True),
+                   dict(clamp_mode="softplus")):
+            o, z = integ.merge_sorted(fo, co, fz, cz)
+            ref = integ.integrate(o, z, key=None, noise=noise,
+                                  noise_std=0.3, **kw)
+            got = integ.composite_merged(fo, co, fz, cz, noise=noise,
+                                         noise_std=0.3, **kw)
+            np.testing.assert_allclose(np.asarray(got.comp),
+                                       np.asarray(ref.comp), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(got.depth),
+                                       np.asarray(ref.depth), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(got.weights_sum),
+                                       np.asarray(ref.weights_sum),
+                                       atol=1e-5)
+
     def test_merge_fine_coarse_matches_general(self):
         """The rank-based fast path (coarse sorted, fine arbitrary — the
         render pipeline's shapes) must be bit-identical to the general
