@@ -69,6 +69,23 @@ def load_generator(path: str):
         return tree("params"), tree("ema"), tree("ema2"), fcfg, config
 
 
+def best_backend(cfg, train: bool = False) -> str:
+    """Backend the inference CLIs should render with: 'pallas' whenever the
+    fused kernels serve this config on the host's default backend (TPU) —
+    the field MLP kernel for supported film variants, and the per-ray
+    hierarchical kernels (ops/ray_finalize.py) for every family — else
+    'xla'. train=True additionally requires fused-backward support."""
+    from fenerf_tpu.ops import film_mlp
+
+    if jax.default_backend() != "tpu":
+        return "xla"
+    if not isinstance(cfg, fields.FieldConfig):
+        return "pallas"   # grid family: XLA field, Pallas ray machinery
+    if train:
+        return "pallas_train" if film_mlp.supported_train(cfg) else "xla"
+    return "pallas" if film_mlp.supported(cfg) else "xla"
+
+
 def camera_trajectory(name: str, num_frames: int, base_fov: float):
     """(t, pitch, yaw, fov) tuples matching the reference trajectories
     (render_video_interpolation_semantic.py:324-371,

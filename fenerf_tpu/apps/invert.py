@@ -106,6 +106,16 @@ def main(argv=None):
     p.add_argument("--no_ema", dest="use_ema", action="store_false")
     p.add_argument("--eval_every", type=int, default=20)
     p.add_argument("--num_steps", type=int, default=24)
+    p.add_argument("--load_offsets", default=None,
+                   help="warm-start from a prior freq_phase_offset_*.npz: "
+                        "its offsets fold into the W base and optimization "
+                        "resumes from zero offsets (reference load_checkpoint"
+                        ", inverse_render_double_semantic.py:352-361) — "
+                        "iterate on an edited mask without re-paying the "
+                        "full run")
+    p.add_argument("--allow_no_lpips", action="store_true",
+                   help="permit --lambda_percept > 0 without LPIPS weights "
+                        "(the perceptual term is then silently dropped)")
     p.add_argument("--render_video", action="store_true",
                    help="render the reconstruction trajectory video after "
                         "optimization (reference run_render_recon_video)")
@@ -152,6 +162,18 @@ def main(argv=None):
         "geo": fields.truncate_film(rand_geo, avg_geo, args.init_psi),
         "app": fields.truncate_film(rand_app, avg_app, args.init_psi),
     }
+    if args.load_offsets:
+        # warm start: prior W + prior offsets become the new base
+        # (reference folds meta offsets into w, inverse_render...py:352-361);
+        # the freq_*/phase_* entries already carry w + offsets
+        with np.load(args.load_offsets) as prior:
+            w = {
+                "geo": (jnp.asarray(prior["freq_geo"]),
+                        jnp.asarray(prior["phase_geo"])),
+                "app": (jnp.asarray(prior["freq_app"]),
+                        jnp.asarray(prior["phase_app"])),
+            }
+        print(f"warm start from {args.load_offsets}")
     offsets = jax.tree.map(jnp.zeros_like, w)
 
     # offset subset: seg-only optimizes geo, img-only optimizes app
@@ -170,16 +192,20 @@ def main(argv=None):
     )
     opt_state = tx.init(offsets)
 
+    from fenerf_tpu.apps.common import best_backend
+
     rcfg = gen.RenderConfig(
         img_size=args.image_size, num_steps=args.num_steps,
         hierarchical=False, h_stddev=0.0, v_stddev=0.0, sample_dist=None,
         lock_view_dependence=args.lock_view_dependence,
+        backend=best_backend(fcfg, train=True),
     )
     eval_rcfg = gen.RenderConfig(
         img_size=256, num_steps=48, hierarchical=True, h_stddev=0.0,
         v_stddev=0.0, sample_dist=None,
         lock_view_dependence=args.lock_view_dependence,
         fill_mode="eval_seg_padding_background", ray_chunk=8192,
+        backend=best_backend(fcfg),
     )
 
     percept = None
@@ -187,8 +213,14 @@ def main(argv=None):
         from fenerf_tpu.eval.lpips import load_lpips
         percept = load_lpips()
         if percept is None:
-            print("WARNING: no LPIPS weights available; lambda_percept "
-                  "term skipped (see fenerf_tpu/eval/lpips.py)")
+            # silently optimizing a DIFFERENT objective than requested is
+            # worse than failing; --allow_no_lpips is the explicit opt-out
+            msg = ("--lambda_percept > 0 but no LPIPS weights are available "
+                   "($FENERF_LPIPS_WEIGHTS; see fenerf_tpu/eval/lpips.py)")
+            if not args.allow_no_lpips:
+                raise SystemExit(msg + " — pass --allow_no_lpips to proceed "
+                                       "without the perceptual term")
+            print(f"WARNING: {msg}; term dropped (--allow_no_lpips)")
 
     def loss_fn(offsets, noise, key):
         fg = tuple(w_ + n_ + o_ for w_, n_, o_ in

@@ -39,7 +39,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from fenerf_tpu.apps.common import load_generator
+    from fenerf_tpu.apps.common import best_backend, load_generator
     from fenerf_tpu.models import generator as gen
     from fenerf_tpu.nn import fields
     from fenerf_tpu.utils.image import mask2color, make_grid, save_png, to_uint8
@@ -52,13 +52,17 @@ def main(argv=None):
     if is_grid and args.fill_mode == "seg_padding_background":
         args.fill_mode = "eval_white_back"  # grid family is RGB-only
 
-    steps = args.num_steps * args.ray_step_multiplier // 2
+    # reference default budget: num_steps x multiplier COARSE samples plus
+    # an equal hierarchical fine pass (48 + 48 = 96 total at the defaults,
+    # render_multiview_images_double_semantic.py:44 + generators.py:452-527)
+    steps = args.num_steps * args.ray_step_multiplier
     yaw_offsets = [-0.5, -0.25, 0.0, 0.25, 0.5]
 
     rcfg = gen.RenderConfig(
         img_size=args.image_size, num_steps=steps, hierarchical=True,
         perturb=True, fill_mode=args.fill_mode, fill_color=args.fill_color, fov=args.fov,
         ray_chunk=args.ray_chunk, compute_dtype="bfloat16",
+        backend=best_backend(fcfg),
     )
 
     if is_grid:

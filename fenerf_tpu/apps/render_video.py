@@ -40,8 +40,8 @@ def main(argv=None):
     import jax
     import numpy as np
 
-    from fenerf_tpu.apps.common import (camera_trajectory, interpolate_films,
-                                        load_generator)
+    from fenerf_tpu.apps.common import (best_backend, camera_trajectory,
+                                        interpolate_films, load_generator)
     from fenerf_tpu.models import generator as gen
     from fenerf_tpu.nn import fields
     from fenerf_tpu.utils.image import (depth_to_jet, mask2color, save_png,
@@ -59,6 +59,7 @@ def main(argv=None):
         img_size=args.image_size, num_steps=args.num_steps,
         hierarchical=True, fill_mode=args.fill_mode, fill_color=args.fill_color,
         ray_chunk=args.ray_chunk, compute_dtype="bfloat16",
+        backend=best_backend(fcfg),
     )
 
     if is_grid:

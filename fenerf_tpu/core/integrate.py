@@ -117,6 +117,11 @@ def integrate_weights(
 
 _FILL_VALUES = {"white": 1.0, "black": 0.0, "grey": 0.5, "light_grey": 0.81}
 
+# sample_pdf per-row pick implementation: "onehot" (einsum with a one-hot —
+# MXU dispatch) or "reduce" (select+sum — fuses with producers). Identical
+# outputs; perf-only switch, A/B'd on hardware by scripts/profile_hier_ablate.
+PICK_IMPL = "onehot"
+
 
 def apply_fill(
     comp: jax.Array,         # (..., R, C)
@@ -199,19 +204,27 @@ def sample_pdf(
     below = jnp.clip(inds - 1, 0, m)
     above = jnp.clip(inds, 0, m)
 
-    # per-row picks as one-hot contractions — take_along_axis lowers to slow
-    # per-element gathers on TPU; these are tiny (K x M) VPU/MXU ops instead.
+    # per-row picks — take_along_axis lowers to slow per-element gathers on
+    # TPU; these are tiny (K x M) arithmetic contractions instead.
     # NOTE: do NOT fuse cdf+bins into one stacked (..., M, 2) operand — a
     # trailing dim of 2 pads to 128 lanes on TPU (64x HBM for the
     # intermediate; measured -5% on the flagship render).
-    iota_m = jax.lax.broadcasted_iota(jnp.int32, (1, m + 1), 1)
-    oh_below = (below[..., :, None] == iota_m).astype(cdf.dtype)
-    oh_above = (above[..., :, None] == iota_m).astype(cdf.dtype)
-    pick = lambda oh, v: jnp.einsum("...km,...m->...k", oh, v)
-    cdf_below = pick(oh_below, cdf)
-    cdf_above = pick(oh_above, cdf)
-    bins_below = pick(oh_below, bins)
-    bins_above = pick(oh_above, bins)
+    if PICK_IMPL == "reduce":
+        # select+sum fuses with its producers (no MXU dispatch); identical
+        # values — each sum touches exactly one nonzero
+        cdf_below = _pick_rows(below, cdf)
+        cdf_above = _pick_rows(above, cdf)
+        bins_below = _pick_rows(below, bins)
+        bins_above = _pick_rows(above, bins)
+    else:
+        iota_m = jax.lax.broadcasted_iota(jnp.int32, (1, m + 1), 1)
+        oh_below = (below[..., :, None] == iota_m).astype(cdf.dtype)
+        oh_above = (above[..., :, None] == iota_m).astype(cdf.dtype)
+        pick = lambda oh, v: jnp.einsum("...km,...m->...k", oh, v)
+        cdf_below = pick(oh_below, cdf)
+        cdf_above = pick(oh_above, cdf)
+        bins_below = pick(oh_below, bins)
+        bins_above = pick(oh_above, bins)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < eps, 1.0, denom)
@@ -342,6 +355,99 @@ def composite_merged(
     if black_back:
         comp = comp - (1.0 - weights_sum)[..., None]
     return Integrated(comp=comp, depth=depth, weights=w_unsorted,
+                      weights_sum=weights_sum)
+
+
+def _pick_rows(idx: jax.Array, vals: jax.Array) -> jax.Array:
+    """vals[..., idx] per row WITHOUT gather or matmul: an equality mask
+    contracted by select+sum. Unlike the one-hot einsum (which dispatches to
+    the MXU and breaks XLA elementwise fusion, materializing the (..., K, M)
+    operand in HBM), a where+reduce fuses with its producers into one loop.
+    Exact: the sum touches one nonzero element, so no rounding is added.
+    idx (..., K) int32 in [0, M); vals (..., M) -> (..., K)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, vals.shape[-1]), 1)
+    return jnp.sum(
+        jnp.where(idx[..., :, None] == iota, vals[..., None, :], 0.0), axis=-1)
+
+
+def _before_mask(all_z: jax.Array) -> jax.Array:
+    """before[i, j] = sample j precedes sample i in the stable sort of the
+    per-ray z concat: z_j < z_i, or z_j == z_i and j < i (stable tie rule —
+    identical ranks to merge_sorted/composite_merged). (..., S) -> (..., S, S)
+    bool."""
+    s = all_z.shape[-1]
+    zi = all_z[..., :, None]
+    zj = all_z[..., None, :]
+    j_lt_i = (jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+              < jax.lax.broadcasted_iota(jnp.int32, (s, s), 0))
+    return (zj < zi) | ((zj == zi) & j_lt_i)
+
+
+def composite_merged_nosort(
+    fine_out: jax.Array,    # (..., R, S_f, C+1) unsorted importance samples
+    coarse_out: jax.Array,  # (..., R, S_c, C+1) — coarse_z SORTED along -1
+    fine_z: jax.Array,      # (..., R, S_f)
+    coarse_z: jax.Array,    # (..., R, S_c)
+    noise: jax.Array | None = None,   # (..., R, S) indexed by SORTED pos
+    noise_std: float | jax.Array = 0.5,
+    clamp_mode: str = "relu",
+    last_back: bool = False,
+    white_back: bool = False,
+    black_back: bool = False,
+) -> Integrated:
+    """composite_merged with ZERO permutations: depth-sorted compositing is
+    order-independent once each sample knows its sorted neighbourhood —
+      trans_i = prod_{j before i} (1 - alpha_j + 1e-10)   (masked product)
+      delta_i = (z of rank_i + 1) - z_i                   (masked pick)
+      comp / depth / weights_sum = plain sums over samples.
+    The one-hot permutation matmuls of composite_merged dispatch to the MXU
+    and cannot fuse with their elementwise producers, so the (..., S, S)
+    operands round-trip HBM (451ms of the batch-64 flagship render,
+    PROFILE_HIER.json); here every (..., S, S) intermediate is a
+    broadcast-compare consumed by a reduction — one fused XLA loop, nothing
+    materialized. Matches reference generators.py:508-527 +
+    volumetric_rendering.py:18-51 semantics like composite_merged (equal up
+    to f32 product/sum association order)."""
+    s = fine_z.shape[-1] + coarse_z.shape[-1]
+    all_z = jnp.concatenate([fine_z, coarse_z], axis=-1)
+    all_out = jnp.concatenate([fine_out, coarse_out], axis=-2)
+
+    before = _before_mask(all_z)                       # (..., S, S) bool
+    rank = before.sum(axis=-1).astype(jnp.int32)       # (..., S)
+
+    sigma = all_out[..., -1]
+    if noise is not None:
+        # noise is indexed by sorted position: sample i draws noise[rank_i]
+        sigma = sigma + _pick_rows(rank, noise) * noise_std
+    if clamp_mode == "softplus":
+        act = jax.nn.softplus(sigma)
+    elif clamp_mode == "relu":
+        act = jax.nn.relu(sigma)
+    else:
+        raise ValueError(f"unknown clamp_mode {clamp_mode!r}")
+
+    # delta_i = next z in sorted order - z_i: the sample j with
+    # rank_j == rank_i + 1 (a rank match, NOT a positional pick — all_z is
+    # in concat order); the sorted-last gets 1e10
+    is_next = rank[..., None, :] == rank[..., :, None] + 1
+    next_z = jnp.sum(jnp.where(is_next, all_z[..., None, :], 0.0), axis=-1)
+    deltas = jnp.where(rank == s - 1, 1e10, next_z - all_z)
+
+    alphas = 1.0 - jnp.exp(-deltas * act)
+    om = 1.0 - alphas + 1e-10
+    trans = jnp.prod(jnp.where(before, om[..., None, :], 1.0), axis=-1)
+    w = alphas * trans                                 # concat order
+    weights_sum = w.sum(axis=-1)
+    if last_back:
+        w = w + jnp.where(rank == s - 1,
+                          (1.0 - weights_sum)[..., None], 0.0)
+    comp = jnp.sum(w[..., None] * all_out[..., :-1], axis=-2)
+    depth = jnp.sum(w * all_z, axis=-1)
+    if white_back:
+        comp = comp + (1.0 - weights_sum)[..., None]
+    if black_back:
+        comp = comp - (1.0 - weights_sum)[..., None]
+    return Integrated(comp=comp, depth=depth, weights=w,
                       weights_sum=weights_sum)
 
 

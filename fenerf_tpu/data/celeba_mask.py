@@ -38,12 +38,19 @@ def _prep(pil: Image.Image, img_size: int, nearest: bool) -> Image.Image:
     return pil.resize((img_size, img_size), resample)
 
 
-def one_hot_labels(mask: np.ndarray, n: int = 18) -> np.ndarray:
-    """mask (H, W) int -> (n, H, W) one-hot of labels 1..n (background
-    dropped), matching _mask_labels (datasets.py:518-523)."""
+def one_hot_labels(mask: np.ndarray, n: int = 18,
+                   include_background: bool = False) -> np.ndarray:
+    """mask (H, W) int -> (n, H, W) one-hot.
+
+    include_background=False: labels 1..n (background dropped), matching
+    CelebAMaskHQ_wo_background_seg_18._mask_labels (datasets.py:518-523).
+    include_background=True: labels 0..n-1 (background kept as channel 0),
+    matching CelebAMaskHQ._mask_labels (datasets.py:165-172, 19 channels).
+    """
     out = np.zeros((n,) + mask.shape, dtype=np.float32)
+    off = 0 if include_background else 1
     for i in range(n):
-        out[i][mask == i + 1] = 1.0
+        out[i][mask == i + off] = 1.0
     return out
 
 
@@ -52,6 +59,7 @@ class CelebAMaskDataset:
 
     def __init__(self, dataset_path: str, img_size: int,
                  background_mask: bool = True, seg_channels: int = 18,
+                 seg_background: bool = False, img_nearest: bool = False,
                  img_glob: str = "celebahq_mask_img/*.jpg",
                  mask_glob: str = "celebahq_mask_mask/*.png",
                  use_native: str | bool = "auto"):
@@ -63,6 +71,13 @@ class CelebAMaskDataset:
         self.img_size = img_size
         self.background_mask = background_mask
         self.seg_channels = seg_channels
+        self.seg_background = seg_background
+        self.img_nearest = img_nearest
+        if img_nearest:
+            # the native loader resizes images bilinearly (the 18ch family's
+            # geometry); the 19ch CelebAMaskHQ reference uses NEAREST for
+            # images too (datasets.py:124-128) -> PIL path for exact parity
+            use_native = False
         if use_native == "auto":
             from fenerf_tpu.data import native_loader
 
@@ -80,7 +95,8 @@ class CelebAMaskDataset:
         if flip:
             x = x[:, :, ::-1].copy()
             m = m[:, ::-1].copy()
-        labels = one_hot_labels(m, self.seg_channels) * 2.0 - 1.0
+        labels = one_hot_labels(m, self.seg_channels,
+                                self.seg_background) * 2.0 - 1.0
         return x, labels
 
     def __getitem__(self, index: int, flip: bool = False):
@@ -99,7 +115,7 @@ class CelebAMaskDataset:
             arr = np.asarray(img).copy()
             arr[m == 0] = 0
             img = Image.fromarray(arr)
-        img = _prep(img, self.img_size, nearest=False)
+        img = _prep(img, self.img_size, nearest=self.img_nearest)
         mask = _prep(mask, self.img_size, nearest=True)
         return self._finish(np.asarray(img), np.asarray(mask), flip)
 
@@ -152,9 +168,12 @@ class SimpleImageDataset:
 
 DATASETS = {
     "CelebAMaskHQ_wo_background_seg_18": CelebAMaskDataset,
-    # 19-channel variant keeps the background channel (datasets.py:116-196)
+    # 19-channel variant KEEPS the background as channel 0 (labels 0..18,
+    # datasets.py:141-173) and resizes images with NEAREST (:124-128)
     "CelebAMaskHQ": lambda dataset_path, img_size, **kw: CelebAMaskDataset(
-        dataset_path, img_size, **{**kw, "seg_channels": 18}),
+        dataset_path, img_size,
+        **{**kw, "seg_channels": 19, "seg_background": True,
+           "img_nearest": True}),
     "CelebA": CelebADataset,
     "Cats": SimpleImageDataset,
     "Carla": lambda dataset_path, img_size, **kw: SimpleImageDataset(

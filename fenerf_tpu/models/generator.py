@@ -79,6 +79,20 @@ class RenderConfig:
         return dataclasses.replace(self, **kw)
 
 
+# "auto": fused per-ray Pallas kernels (ops/ray_finalize.py) serve the
+# hierarchical path whenever the field backend is pallas/pallas_train and we
+# are on TPU. "always" forces them in interpret mode off-TPU (equivalence
+# tests); "never" pins the XLA machinery (A/B profiling).
+RAY_KERNELS = "auto"
+
+
+def _ray_kernels_enabled(rcfg: "RenderConfig") -> bool:
+    if RAY_KERNELS == "never" or rcfg.backend not in ("pallas",
+                                                      "pallas_train"):
+        return False
+    return RAY_KERNELS == "always" or jax.default_backend() == "tpu"
+
+
 class RayNoise(NamedTuple):
     """Per-ray randomness, drawn ONCE over the whole image and sliced per
     ray block — chunked rendering is bit-exact vs whole-image rendering.
@@ -89,17 +103,25 @@ class RayNoise(NamedTuple):
 
 
 def draw_ray_noise(k_coarse, k_pdf, k_final, batch: int, n_rays: int,
-                   rcfg: "RenderConfig") -> RayNoise:
+                   rcfg: "RenderConfig",
+                   noise_std: float | jax.Array = 1.0) -> RayNoise:
+    # statically-zero noise_std (every inference CLI): skip the sigma-noise
+    # draws entirely — sigma + 0*n is exact, and the dead (B, R, S) RNG
+    # tensors cost ~29ms of the batch-64 flagship render (ROADMAP 2a)
+    dead = isinstance(noise_std, (int, float)) and noise_std == 0.0
     s = rcfg.num_steps
     if rcfg.hierarchical:
         return RayNoise(
             u=jax.random.uniform(k_pdf, (batch, n_rays, s)),
-            coarse=jax.random.normal(k_coarse, (batch, n_rays, s)),
-            final=jax.random.normal(k_final, (batch, n_rays, 2 * s)),
+            coarse=(None if dead else
+                    jax.random.normal(k_coarse, (batch, n_rays, s))),
+            final=(None if dead else
+                   jax.random.normal(k_final, (batch, n_rays, 2 * s))),
         )
     return RayNoise(
         u=None, coarse=None,
-        final=jax.random.normal(k_final, (batch, n_rays, s)),
+        final=(None if dead else
+               jax.random.normal(k_final, (batch, n_rays, s))),
     )
 
 
@@ -134,6 +156,32 @@ def _shade_rays(field_fn, output_dim, rcfg, origins, dirs, z_vals,
         dirs_exp = jnp.zeros_like(dirs_exp).at[..., -1].set(-1.0)
 
     coarse = eval_pts(points, dirs_exp)
+
+    if rcfg.hierarchical and _ray_kernels_enabled(rcfg):
+        # fused Pallas per-ray machinery: proposal+resample in one kernel,
+        # merge+integrate+fill+softmax in another — every (.., 2S, 2S)
+        # intermediate stays in VMEM (PROFILE_HIER.json: the XLA graph's
+        # fusion breaks around these ops cost ~544+246ms of the batch-64
+        # flagship render)
+        from fenerf_tpu.ops import ray_finalize as rf
+
+        interp = jax.default_backend() != "tpu"
+        scale = lambda t: None if t is None else t * noise_std
+        fine_z = rf.ray_resample(
+            jax.lax.stop_gradient(coarse[..., -1]), z_vals,
+            scale(noise.coarse), noise.u, clamp_mode=rcfg.clamp_mode,
+            interpret=interp)
+        fine_z = jax.lax.stop_gradient(fine_z)
+        fine_pts = (origins[:, :, None, :]
+                    + dirs[:, :, None, :] * fine_z[..., None])
+        fine = eval_pts(fine_pts, dirs_exp)
+        comp, depth, wsum = rf.ray_finalize_vjp(
+            fine, coarse, fine_z, z_vals, scale(noise.final),
+            clamp_mode=rcfg.clamp_mode, last_back=rcfg.last_back,
+            white_back=rcfg.white_back, black_back=rcfg.black_back,
+            fill_mode=rcfg.fill_mode, fill_color=rcfg.fill_color,
+            softmax_label=rcfg.softmax_label, interpret=interp)
+        return comp, depth, wsum
 
     if rcfg.hierarchical:
         # coarse weights drive importance resampling; no gradients flow
@@ -170,6 +218,9 @@ def _shade_rays(field_fn, output_dim, rcfg, origins, dirs, z_vals,
         )
     comp = integ.apply_fill(res.comp, res.weights_sum, rcfg.fill_mode,
                             rcfg.fill_color)
+    if rcfg.softmax_label:
+        seg, rgb = comp[..., :-3], comp[..., -3:]
+        comp = jnp.concatenate([jax.nn.softmax(seg, axis=-1), rgb], axis=-1)
     return comp, res.depth, res.weights_sum
 
 
@@ -258,14 +309,12 @@ def render_core(
     )
 
     noise = draw_ray_noise(k_coarse_noise, k_pdf, k_fine_noise,
-                           batch_size, rcfg.n_rays, rcfg)
+                           batch_size, rcfg.n_rays, rcfg, noise_std)
     comp, depth, weights_sum = _shade_chunked(
         field_fn, output_dim, rcfg, tr.ray_origins, tr.ray_dirs, tr.z_vals,
         noise, noise_std)
-
-    if rcfg.softmax_label:
-        seg, rgb = comp[..., :-3], comp[..., -3:]
-        comp = jnp.concatenate([jax.nn.softmax(seg, axis=-1), rgb], axis=-1)
+    # (fill + optional label softmax applied per-ray inside _shade_rays /
+    # the fused ray-finalize kernel)
 
     hw = rcfg.img_size
     pixels = comp.reshape(batch_size, hw, hw, -1).transpose(0, 3, 1, 2) * 2.0 - 1.0
@@ -369,7 +418,7 @@ def render_image_sharded(
         )
         field_fn = _film_field_fn(params, fcfg, rcfg, film_geo, film_app)
         noise = draw_ray_noise(k_cnoise, k_pdf, k_fnoise,
-                               batch_size, rows_per * h, rcfg)
+                               batch_size, rows_per * h, rcfg, noise_std)
         comp, _, _ = _shade_chunked(
             field_fn, fcfg.output_dim, rcfg, tr.ray_origins, tr.ray_dirs,
             tr.z_vals, noise, noise_std)

@@ -120,6 +120,45 @@ class TestInvert:
         assert "freq_geo" in data and "offset_freq_app" in data
         assert os.path.exists(str(tmp_path / "inv" / "mious.npy"))
 
+        # warm start: the prior run's W+offsets become the new base
+        # (reference inverse_render_double_semantic.py:352-361)
+        out2 = main(["test2", "--ckpt", tiny_ckpt, "--image_path", img_p,
+                     "--seg_path", seg_p,
+                     "--save_dir", str(tmp_path / "inv2"),
+                     "--image_size", "16", "--iterations", "1",
+                     "--lambda_seg", "1", "--lambda_img", "1",
+                     "--num_steps", "4", "--eval_every", "2",
+                     "--load_offsets", out])
+        data2 = np.load(out2)
+        np.testing.assert_array_equal(data2["w_freq_geo"], data["freq_geo"])
+        np.testing.assert_array_equal(data2["w_phase_app"],
+                                      data["phase_app"])
+
+    def test_lambda_percept_without_weights_fails(self, tiny_ckpt, tmp_path):
+        """Silently dropping the perceptual term changes the requested
+        objective — must hard-fail absent --allow_no_lpips."""
+        from fenerf_tpu.apps.invert import main
+        from fenerf_tpu.eval.lpips import load_lpips
+        if load_lpips() is not None:
+            pytest.skip("LPIPS weights present in this environment")
+        rng = np.random.RandomState(0)
+        img_p = str(tmp_path / "gt.jpg")
+        seg_p = str(tmp_path / "gt.png")
+        Image.fromarray(
+            (rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(img_p)
+        Image.fromarray(
+            rng.randint(0, 19, (64, 64)).astype(np.uint8), mode="L"
+        ).save(seg_p)
+        common = ["test", "--ckpt", tiny_ckpt, "--image_path", img_p,
+                  "--seg_path", seg_p, "--save_dir", str(tmp_path / "inv"),
+                  "--image_size", "16", "--iterations", "1",
+                  "--lambda_img", "1", "--lambda_percept", "0.5",
+                  "--num_steps", "4"]
+        with pytest.raises(SystemExit, match="lambda_percept"):
+            main(common)
+        out = main(common + ["--allow_no_lpips"])  # explicit opt-out runs
+        assert os.path.exists(out)
+
 
 class TestTrainCli:
     def test_three_steps_synthetic(self, tmp_path):

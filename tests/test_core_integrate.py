@@ -231,6 +231,55 @@ class TestMergeSorted:
                                        np.asarray(ref.weights_sum),
                                        atol=1e-5)
 
+    def test_composite_merged_nosort_matches_onehot(self):
+        """The order-independent (no-permutation) compositing must match
+        composite_merged — including ties, noise-by-sorted-position, and
+        every back/clamp mode — up to f32 association order, and the
+        returned weights must be in the same concat order."""
+        key = jax.random.key(21)
+        for trial in range(6):
+            kk = jax.random.fold_in(key, trial)
+            cz = jnp.sort(
+                jax.random.uniform(jax.random.fold_in(kk, 0), (2, 5, 8)), -1)
+            fz = jax.random.uniform(jax.random.fold_in(kk, 1), (2, 5, 8))
+            if trial % 2 == 0:  # ties: cross-list, within-fine, within-coarse
+                fz = fz.at[..., 2].set(cz[..., 5])
+                fz = fz.at[..., 4].set(fz[..., 6])
+                cz = cz.at[..., 1].set(cz[..., 2])
+            fo = jax.random.normal(jax.random.fold_in(kk, 2), (2, 5, 8, 6))
+            co = jax.random.normal(jax.random.fold_in(kk, 3), (2, 5, 8, 6))
+            noise = jax.random.normal(jax.random.fold_in(kk, 4), (2, 5, 16))
+            for kw in (dict(), dict(last_back=True), dict(white_back=True),
+                       dict(black_back=True), dict(clamp_mode="softplus"),
+                       dict(noise=None)):
+                nz = kw.pop("noise", noise)
+                ref = integ.composite_merged(fo, co, fz, cz, noise=nz,
+                                             noise_std=0.3, **kw)
+                got = integ.composite_merged_nosort(fo, co, fz, cz, noise=nz,
+                                                    noise_std=0.3, **kw)
+                for field in ("comp", "depth", "weights", "weights_sum"):
+                    np.testing.assert_allclose(
+                        np.asarray(getattr(got, field)),
+                        np.asarray(getattr(ref, field)), atol=2e-5,
+                        err_msg=f"{field} {kw}")
+
+    def test_sample_pdf_pick_impls_identical(self):
+        """'reduce' picks must be bit-identical to the one-hot einsum picks
+        (both select exact elements)."""
+        key = jax.random.key(5)
+        bins = jnp.sort(jax.random.uniform(key, (3, 7, 11)), -1)
+        w = jax.random.uniform(jax.random.fold_in(key, 1), (3, 7, 10))
+        u = jax.random.uniform(jax.random.fold_in(key, 2), (3, 7, 9))
+        old = integ.PICK_IMPL
+        try:
+            integ.PICK_IMPL = "onehot"
+            a = integ.sample_pdf(None, bins, w, 9, u=u)
+            integ.PICK_IMPL = "reduce"
+            b = integ.sample_pdf(None, bins, w, 9, u=u)
+        finally:
+            integ.PICK_IMPL = old
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_merge_fine_coarse_matches_general(self):
         """The rank-based fast path (coarse sorted, fine arbitrary — the
         render pipeline's shapes) must be bit-identical to the general

@@ -54,6 +54,64 @@ class TestDataset:
         assert oh[17, 1, 0] == 1.0     # label 18 -> channel 17
         assert oh[:, 0, 0].sum() == 0  # background unmapped
 
+    def test_19ch_variant_matches_reference_mask_labels(self,
+                                                        mask_dataset_root):
+        """The CelebAMaskHQ registry entry must keep BACKGROUND as channel 0
+        (labels 0..18 -> 19 one-hot channels), exactly as the reference's
+        _mask_labels (/root/reference/datasets.py:141-173). The reference
+        method itself is loaded (with its torchvision/cv2 deps stubbed) and
+        run on a synthetic mask."""
+        import importlib.util
+        import sys
+        import types
+
+        stubs = {}
+        for name in ("cv2", "torchvision", "torchvision.transforms",
+                     "torchvision.datasets"):
+            if name not in sys.modules:
+                stubs[name] = types.ModuleType(name)
+        if stubs:
+            noop = lambda *a, **k: None
+            for attr in ("Compose", "Resize", "CenterCrop", "ToTensor",
+                         "Normalize", "RandomHorizontalFlip"):
+                setattr(stubs.get("torchvision.transforms",
+                                  sys.modules.get("torchvision.transforms")),
+                        attr, noop)
+            if "cv2" in stubs:
+                stubs["cv2"].transform = None
+            if "torchvision" in stubs:
+                stubs["torchvision"].transforms = stubs.get(
+                    "torchvision.transforms")
+                stubs["torchvision"].datasets = stubs.get(
+                    "torchvision.datasets")
+            sys.modules.update(stubs)
+        try:
+            spec = importlib.util.spec_from_file_location(
+                "ref_datasets", "/root/reference/datasets.py")
+            ref = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(ref)
+            ref_ds = ref.CelebAMaskHQ(dataset_path="/nonexistent",
+                                      img_size=32, background_mask=False)
+        finally:
+            for name in stubs:
+                sys.modules.pop(name, None)
+
+        rng = np.random.RandomState(3)
+        mask = rng.randint(0, 19, (16, 16)).astype(np.float64)
+        expected = np.asarray(ref_ds._mask_labels(mask))
+        assert expected.shape == (19, 16, 16)
+        got = one_hot_labels(mask, 19, include_background=True)
+        np.testing.assert_array_equal(got, expected.astype(np.float32))
+
+        # and the registry entry wires it through (19ch, channel 0 = bg)
+        ds = make_dataset("CelebAMaskHQ", mask_dataset_root, img_size=32)
+        img, labels = ds[0]
+        assert labels.shape == (19, 32, 32)
+        # left half of the fixture masks is background (label 0)
+        assert float(labels[0, :, 0].max()) == 1.0
+        # one-hot partition: exactly one +1 per pixel across 19 channels
+        assert np.all(((labels + 1) / 2).sum(0) == 1.0)
+
     def test_iterate_batches_sharded(self, mask_dataset_root):
         ds = CelebAMaskDataset(mask_dataset_root, img_size=16)
         batches = []
