@@ -20,6 +20,22 @@ import os
 import time
 
 
+def _host_barrier(name: str, timeout_ms: int = 1_200_000) -> None:
+    """Cross-host rendezvous over the coordination service (pure gRPC).
+
+    Deliberately NOT a device collective: gloo (the CPU collectives
+    backend) gives every fresh communicator clique a hard ~30s rendezvous
+    window, so a psum-style barrier would itself be subject to the very
+    compile-skew race it is meant to close. The coordination-service
+    barrier has an explicit long deadline and compiles nothing.
+    """
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_ms)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--curriculum", required=True)
@@ -48,6 +64,12 @@ def main(argv=None):
                    help="call jax.distributed.initialize() — the TPU-pod "
                         "replacement for init_process_group (launch this CLI "
                         "once per host; coordinator from TPU env)")
+    p.add_argument("--coordinator", default=None,
+                   help="explicit coordinator addr:port for --multihost "
+                        "(DCN clusters / the CPU two-process rehearsal; "
+                        "TPU pods auto-detect)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--batch_per_device", action="store_true", default=True,
                    help="treat the curriculum batch_size as PER-DEVICE "
                         "(reference semantics: each DDP rank loads a full "
@@ -57,10 +79,28 @@ def main(argv=None):
                    action="store_false")
     args = p.parse_args(argv)
 
+    # the ambient TPU-tunnel sitecustomize pins JAX_PLATFORMS after the
+    # shell env is applied, so `env JAX_PLATFORMS=cpu` alone is NOT enough
+    # to force CPU (same reason tests/conftest.py uses jax.config);
+    # FENERF_FORCE_PLATFORM wins over both (CPU rehearsals/CI on a TPU host)
+    forced = os.environ.get("FENERF_FORCE_PLATFORM")
+    if forced:
+        import jax
+
+        jax.config.update("jax_platforms", forced)
+
     if args.multihost:
         import jax
 
-        jax.distributed.initialize()
+        if args.coordinator:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id)
+        else:
+            jax.distributed.initialize()
+
+        _host_barrier("fenerf_init")
 
     import jax as _jax
     cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
@@ -203,6 +243,7 @@ def main(argv=None):
             assert m.batch_size % n_dev == 0 or n_dev == 1, (
                 f"batch {m.batch_size} not divisible by {n_dev} devices")
             step_fn = sharding.jit_train_step_sharded(m, mesh)
+            stage_first_dispatch = True
             dataset = make_dataset(
                 m.dataset, m.dataset_path, m.img_size,
                 background_mask=m.background_mask,
@@ -226,8 +267,17 @@ def main(argv=None):
         if prof_range and step == prof_range[0]:
             jax.profiler.start_trace(
                 os.path.join(args.output_dir, "profile"))
-        state, metrics = step_fn(state, imgs, labels,
-                                 jax.random.fold_in(key, 10_000 + step), scal)
+        step_key = jax.random.fold_in(key, 10_000 + step)
+        if n_hosts > 1 and stage_first_dispatch:
+            # compile fence: each stage's step is a fresh XLA program whose
+            # per-host compile times can differ by minutes, while gloo gives
+            # the step's psum clique a hard ~30s rendezvous window at FIRST
+            # dispatch. AOT-compile (no dispatch), rendezvous over the
+            # coordination service, then dispatch everywhere at once.
+            step_fn.lower(state, imgs, labels, step_key, scal).compile()
+            _host_barrier(f"fenerf_stage_compiled_{step}")
+            stage_first_dispatch = False
+        state, metrics = step_fn(state, imgs, labels, step_key, scal)
         if prof_range and step == prof_range[1]:
             jax.tree_util.tree_leaves(metrics)[0].block_until_ready()
             jax.profiler.stop_trace()
@@ -309,6 +359,15 @@ def main(argv=None):
                     print(f"[fid] step={step} fid={fid:.3f}")
                 except (FileNotFoundError, NotImplementedError) as e:
                     print(f"[fid] skipped: {e}")
+            if n_hosts > 1:
+                # host-side eval work is skewed (host 0 dumps reals and
+                # scores FID, often minutes); without a barrier the faster
+                # hosts hit the distributed-shutdown deadline while host 0
+                # still computes (the reference syncs the same way,
+                # dist.barrier() at train_double_latent_semantic.py:542,548).
+                # Coordination-service barrier, NOT a device collective —
+                # a gloo psum would time out at 30s under that same skew.
+                _host_barrier(f"fenerf_eval_{step}")
 
     if host_index == 0:
         ckpt.save(os.path.join(args.output_dir, "train_state.npz"), state)

@@ -119,8 +119,10 @@ _FILL_VALUES = {"white": 1.0, "black": 0.0, "grey": 0.5, "light_grey": 0.81}
 
 # sample_pdf per-row pick implementation: "onehot" (einsum with a one-hot —
 # MXU dispatch) or "reduce" (select+sum — fuses with producers). Identical
-# outputs; perf-only switch, A/B'd on hardware by scripts/profile_hier_ablate.
-PICK_IMPL = "onehot"
+# outputs. "reduce" is the shipped default: together with
+# composite_merged_nosort it measured 2451ms vs 2760ms on the batch-64
+# flagship render (PROFILE_RAYK.json, same session).
+PICK_IMPL = "reduce"
 
 
 def apply_fill(

@@ -174,6 +174,14 @@ DATASETS = {
         dataset_path, img_size,
         **{**kw, "seg_channels": 19, "seg_background": True,
            "img_nearest": True}),
+    # single-image overfit/debug variant: ONE hardcoded demo pair
+    # (datasets.py:551-634 — demo_mask_img/97.jpg + demo_mask_mask/97.png,
+    # same 18ch no-background labels and geometry as the main family)
+    "CelebAMaskHQ_single_image_wo_background_seg_18":
+        lambda dataset_path, img_size, **kw: CelebAMaskDataset(
+            dataset_path, img_size,
+            **{**kw, "img_glob": "demo_mask_img/97.jpg",
+               "mask_glob": "demo_mask_mask/97.png"}),
     "CelebA": CelebADataset,
     "Cats": SimpleImageDataset,
     "Carla": lambda dataset_path, img_size, **kw: SimpleImageDataset(

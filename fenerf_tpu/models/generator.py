@@ -82,13 +82,20 @@ class RenderConfig:
 # "auto": fused per-ray Pallas kernels (ops/ray_finalize.py) serve the
 # hierarchical path whenever the field backend is pallas/pallas_train and we
 # are on TPU. "always" forces them in interpret mode off-TPU (equivalence
-# tests); "never" pins the XLA machinery (A/B profiling).
-RAY_KERNELS = "auto"
+# tests); "never" pins the XLA machinery (the shipped default while the
+# kernels' rank-3 VMEM footprint is being tuned — Mosaic materializes every
+# (tile, 2S, 2S) intermediate at full tile size; the fusible nosort XLA path
+# below is the measured-fastest production path, PROFILE_RAYK.json).
+RAY_KERNELS = "never"
 
 
 def _ray_kernels_enabled(rcfg: "RenderConfig") -> bool:
     if RAY_KERNELS == "never" or rcfg.backend not in ("pallas",
                                                       "pallas_train"):
+        return False
+    if rcfg.num_steps < 3:
+        # the resample kernel needs >= 1 interior proposal weight
+        # (S-2 bins-weights); tiny smoke configs fall back to XLA
         return False
     return RAY_KERNELS == "always" or jax.default_backend() == "tpu"
 
@@ -200,10 +207,13 @@ def _shade_rays(field_fn, output_dim, rcfg, origins, dirs, z_vals,
         fine_pts = (origins[:, :, None, :]
                     + dirs[:, :, None, :] * fine_z[..., None])
         fine = eval_pts(fine_pts, dirs_exp)
-        # merge + integrate WITHOUT materializing the sorted channel
-        # tensor (451ms of the batch-64 render per PROFILE_HIER.json):
-        # only z/sigma are permuted; weights come back unsorted
-        res = integ.composite_merged(
+        # merge + integrate with NO permutation at all (the nosort
+        # formulation): the one-hot permutation matmuls of the round-2
+        # composite_merged dispatch to the MXU and cannot fuse with their
+        # elementwise producers (451ms of the batch-64 render,
+        # PROFILE_HIER.json); the masked-reduce form measured 2451ms vs
+        # 2760ms whole-render (PROFILE_RAYK.json)
+        res = integ.composite_merged_nosort(
             fine, coarse, fine_z, z_vals,
             noise=noise.final, noise_std=noise_std,
             clamp_mode=rcfg.clamp_mode, last_back=rcfg.last_back,

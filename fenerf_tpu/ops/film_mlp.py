@@ -64,16 +64,45 @@ def supported_train(cfg: FieldConfig) -> bool:
     )
 
 
+def _fold_heads(cfg: FieldConfig) -> bool:
+    """Inference-kernel head packing: the reference label head is a chain of
+    linears with NO activation between them (siren/siren.py:1195-1197
+    label_layer_linear = Sequential(Linear(h,h), Linear(h,18))), so it folds
+    to ONE (h, 18) matmul; that folds further with the sigma head (same
+    input x) into a single (h, 19) MXU pass — removing 3 of the ~4
+    head-sector passes (~11% of the kernel's MXU work, BASELINE.md narrow-
+    head item). label_film variants insert a FiLM sine before the label
+    linears (input differs from x) and keep the unfolded path; training uses
+    the unfolded backward kernel regardless."""
+    return bool(cfg.n_labels) and not cfg.label_film
+
+
 def _pack(params: Any, cfg: FieldConfig) -> list[jax.Array]:
-    """Kernel operand order: trunk (w,b)*Lg, color (w,b)*Lc, sigma head,
-    [label_film], label head linears, color head. Weights bf16, biases f32."""
+    """Kernel operand order: trunk (w,b)*Lg, color (w,b)*Lc, then either the
+    packed [sigma | folded-label] head (+ color head) when _fold_heads, or
+    sigma head, [label_film], label head linears, color head. Weights bf16,
+    biases f32 (the label fold runs in f32, ONE bf16 cast at the end —
+    strictly fewer roundings than the sequential bf16 chain)."""
     ops = []
     layers = list(params["trunk"]) + list(params["color"])
-    layers.append(params["sigma_head"])
-    if cfg.n_labels:
-        if cfg.label_film:
-            layers.append(params["label_film"])
-        layers += list(params["label_head"])
+    if _fold_heads(cfg):
+        w = params["label_head"][0]["w"].astype(jnp.float32)
+        b = params["label_head"][0]["b"].astype(jnp.float32)
+        for lyr in params["label_head"][1:]:
+            w2 = lyr["w"].astype(jnp.float32)
+            b = b @ w2 + lyr["b"].astype(jnp.float32)
+            w = w @ w2
+        packed_w = jnp.concatenate(
+            [params["sigma_head"]["w"].astype(jnp.float32), w], axis=1)
+        packed_b = jnp.concatenate(
+            [params["sigma_head"]["b"].astype(jnp.float32), b])
+        layers.append({"w": packed_w, "b": packed_b})
+    else:
+        layers.append(params["sigma_head"])
+        if cfg.n_labels:
+            if cfg.label_film:
+                layers.append(params["label_film"])
+            layers += list(params["label_head"])
     layers.append(params["color_head"])
     for lyr in layers:
         ops += [lyr["w"].astype(jnp.bfloat16), lyr["b"].astype(jnp.float32)]
@@ -100,6 +129,7 @@ def film_mlp(
     g_col = g if cfg.grid_to == "color" else 0
     g_trunk = g if cfg.grid_to == "trunk" else 0
     lf = 1 if (cfg.n_labels and cfg.label_film) else 0  # label FiLM layer
+    fold = _fold_heads(cfg)
     assert supported(cfg), f"unsupported variant {cfg.name} for pallas path"
     tile = min(tile, n)
     pad_n = (-n) % tile
@@ -198,19 +228,29 @@ def film_mlp(
             c = film(c, lg + i, fa_ref, pa_ref, lf + i)
 
         hbase = lg + lc
-        sigma = lin(x, hbase)
         outs = []
-        if n_label_lin:
-            lbl = x
-            if lf:
-                # label branch's own FiLM layer, app chunk 0
-                lbl = film(lbl, hbase + 1, fa_ref, pa_ref, 0)
-            for j in range(n_label_lin):
-                lbl = lin(lbl, hbase + 1 + lf + j)
+        if fold:
+            # one (h, 1+n_labels) pass: [sigma | folded label chain]
+            y = lin(x, hbase)
+            sigma = y[:, :1]
+            lbl = y[:, 1:]
             if cfg.label_sigmoid:
                 lbl = jax.nn.sigmoid(lbl)
             outs.append(lbl)
-        rgb = lin(c, hbase + 1 + lf + n_label_lin)
+            rgb = lin(c, hbase + 1)
+        else:
+            sigma = lin(x, hbase)
+            if n_label_lin:
+                lbl = x
+                if lf:
+                    # label branch's own FiLM layer, app chunk 0
+                    lbl = film(lbl, hbase + 1, fa_ref, pa_ref, 0)
+                for j in range(n_label_lin):
+                    lbl = lin(lbl, hbase + 1 + lf + j)
+                if cfg.label_sigmoid:
+                    lbl = jax.nn.sigmoid(lbl)
+                outs.append(lbl)
+            rgb = lin(c, hbase + 1 + lf + n_label_lin)
         if cfg.rgb_sigmoid:
             rgb = jax.nn.sigmoid(rgb)
         outs.append(rgb)

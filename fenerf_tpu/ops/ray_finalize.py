@@ -56,6 +56,31 @@ def _act(sigma, clamp_mode):
     raise ValueError(f"unknown clamp_mode {clamp_mode!r}")
 
 
+def _lane_iota(rows, width):
+    return jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
+
+
+def _shift_right(x, sh, iota):
+    """x shifted +sh along lanes with zero fill (non-circular).
+
+    pltpu.roll only takes non-negative shifts and is circular; masking the
+    wrapped lanes recovers the plain shift. Mosaic-2D-safe (no concat)."""
+    return jnp.where(iota >= sh, pltpu.roll(x, sh, 1), 0.0)
+
+
+def _cumsum_lanes(x, width, iota, exclusive=False):
+    """Prefix sum along the lane axis via Hillis-Steele doubling — 2D vector
+    ops only (Mosaic materializes rank-3 masked-reduce formulations at full
+    tile size, blowing VMEM; 5 rolls do the same job in-register)."""
+    sh = 1
+    while sh < width:
+        x = x + _shift_right(x, sh, iota)
+        sh *= 2
+    if exclusive:
+        x = _shift_right(x, 1, iota)
+    return x
+
+
 def _flatten_rows(a, keep_dims):
     """(B, R, ...) -> (B*R, ...) keeping the trailing keep_dims dims."""
     return a.reshape((-1,) + a.shape[a.ndim - keep_dims:])
@@ -100,51 +125,59 @@ def ray_resample(
         inputs.append(_pad_rows(_flatten_rows(noise, 1), pad))
 
     def kernel(*refs):
+        # ALL ops 2D (RB, <=S lanes): Mosaic materializes every rank-3
+        # intermediate at full tile size (measured 130MB of register spill
+        # at tile 128 for the (tile, S, S) formulation), so the per-sample
+        # axis is handled by lane rolls + a python-unrolled pick loop.
         sig_ref, z_ref, u_ref = refs[0], refs[1], refs[2]
         out_ref = refs[-1]
         z = z_ref[...]
+        rb = z.shape[0]
+        iota = _lane_iota(rb, s)
         sig = sig_ref[...]
         if noise is not None:
             sig = sig + refs[3][...]
         act = _act(sig, clamp_mode)
-        deltas = jnp.concatenate(
-            [z[:, 1:] - z[:, :-1], jnp.full((z.shape[0], 1), 1e10, z.dtype)],
-            axis=-1)
+        # delta_k = z_{k+1} - z_k (z sorted); last lane 1e10
+        z_next = pltpu.roll(z, s - 1, 1)     # z_next[k] = z[k+1] (circular)
+        deltas = jnp.where(iota == s - 1, 1e10, z_next - z)
         alphas = 1.0 - jnp.exp(-deltas * act)
         om = 1.0 - alphas + 1e-10
-        # exclusive cumprod over the (sorted) sample axis as a masked product
-        # in log space (Mosaic has no reduce_prod lowering; om >= 1e-10 so
-        # the log is always finite; ~1-ulp-per-term deviation vs the XLA
-        # cumprod, covered by the parity tolerances)
-        tri = (jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-               < jax.lax.broadcasted_iota(jnp.int32, (s, s), 0))
-        log_om = jnp.log(om)
-        trans = jnp.exp(jnp.sum(
-            jnp.where(tri[None], log_om[:, None, :], 0.0), axis=-1))
+        # exclusive cumprod in log space via lane prefix-sum (no reduce_prod
+        # in Mosaic; om >= 1e-10 keeps the log finite; deviations are
+        # ~1 ulp/term vs the XLA cumprod, inside the parity tolerances)
+        trans = jnp.exp(_cumsum_lanes(jnp.log(om), s, iota, exclusive=True))
         w = alphas * trans
 
-        bins = 0.5 * (z[:, :-1] + z[:, 1:])                  # (RB, M)
-        wm = (w[:, 1:-1] + 1e-5) + 1e-5                      # (RB, M-1)
-        pdf = wm / jnp.sum(wm, axis=-1, keepdims=True)
-        # cdf[k] = sum_{j<k} pdf_j (leading zero included), length M
-        cmask = (jax.lax.broadcasted_iota(jnp.int32, (m, m - 1), 1)
-                 < jax.lax.broadcasted_iota(jnp.int32, (m, m - 1), 0))
-        cdf = jnp.sum(jnp.where(cmask[None], pdf[:, None, :], 0.0), axis=-1)
+        bins = 0.5 * (z + z_next)            # lanes 0..M-1 valid
+        # proposal weights w[1:-1] (+1e-5 outside sample_pdf, +1e-5 inside);
+        # stay at width s with dead lanes zeroed
+        interior = (iota >= 1) & (iota <= s - 2)
+        wm = jnp.where(interior, w + 1e-5 + 1e-5, 0.0)
+        pdf_sum = jnp.sum(wm, axis=-1, keepdims=True)
+        pdf = wm / pdf_sum                   # lanes 1..s-2 hold pdf_0..pdf_{M-2}
+        # cdf_k = sum_{j<k} pdf_j for k in 0..M-1, aligned so that lane k of
+        # `cdfs` = cdf_k: inclusive prefix of pdf shifted by construction
+        # (pdf_j lives at lane j+1, so the INCLUSIVE prefix at lane k sums
+        # pdf_0..pdf_{k-1} — exactly the exclusive cdf with leading 0)
+        cdfs = _cumsum_lanes(pdf, s, iota)   # lane k = cdf_k; lane s-1 = 1.0
+        valid_m = iota <= m - 1              # cdf/bins defined on M lanes
 
-        uu = u_ref[...]                                      # (RB, n_imp)
-        inds = jnp.sum((cdf[:, None, :] < uu[:, :, None]).astype(jnp.int32),
-                       axis=-1)
-        below = jnp.clip(inds - 1, 0, m - 1)
-        above = jnp.clip(inds, 0, m - 1)
-
-        iota_m = jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2)
-        pick = lambda idx, v: jnp.sum(
-            jnp.where(idx[:, :, None] == iota_m, v[:, None, :], 0.0), axis=-1)
-        cdf_b, cdf_a = pick(below, cdf), pick(above, cdf)
-        bins_b, bins_a = pick(below, bins), pick(above, bins)
-        denom = cdf_a - cdf_b
-        denom = jnp.where(denom < 1e-5, 1.0, denom)
-        out_ref[...] = bins_b + (uu - cdf_b) / denom * (bins_a - bins_b)
+        uu = u_ref[...]
+        for k in range(n_imp):
+            u_k = uu[:, k:k + 1]                               # (RB, 1)
+            lt = jnp.where(valid_m, (cdfs < u_k).astype(jnp.int32), 0)
+            inds = jnp.sum(lt, axis=-1, keepdims=True)
+            below = jnp.clip(inds - 1, 0, m - 1)
+            above = jnp.clip(inds, 0, m - 1)
+            pick = lambda idx, v: jnp.sum(
+                jnp.where(iota == idx, v, 0.0), axis=-1, keepdims=True)
+            cdf_b, cdf_a = pick(below, cdfs), pick(above, cdfs)
+            bins_b, bins_a = pick(below, bins), pick(above, bins)
+            denom = cdf_a - cdf_b
+            denom = jnp.where(denom < 1e-5, 1.0, denom)
+            out_ref[:, k:k + 1] = (
+                bins_b + (u_k - cdf_b) / denom * (bins_a - bins_b))
 
     row = lambda c: pl.BlockSpec((tile, c), lambda t: (t, 0),
                                  memory_space=pltpu.VMEM)
@@ -217,70 +250,126 @@ def ray_finalize(
     tile = min(tile, rows)
     pad = (-rows) % tile
 
-    fo = _pad_rows(_flatten_rows(fine_out, 2), pad)
-    co = _pad_rows(_flatten_rows(coarse_out, 2), pad)
-    fz = _pad_rows(_flatten_rows(fine_z, 1), pad)
-    cz = _pad_rows(_flatten_rows(coarse_z, 1), pad)
-    inputs = [fo, co, fz, cz]
+    # pre-concatenate the per-ray VECTORS outside the kernel (tiny (rows, 2S)
+    # tensors; the XLA concat fuses with its producers). In-kernel lane
+    # concat of two S-wide operands HANGS the Mosaic compiler on this stack
+    # (measured: 24+24 lane concat never returns; width-1 concat and static
+    # lane slices are fine) — so the kernel takes all_z / sigma / noise
+    # already concatenated [fine | coarse] and the channel blocks separately,
+    # composing via two partial sums instead of a (tile, 2S, C) concat.
+    all_z = jnp.concatenate([fine_z, coarse_z], axis=-1)
+    sigma_all = jnp.concatenate(
+        [fine_out[..., -1], coarse_out[..., -1]], axis=-1)
+    az = _pad_rows(_flatten_rows(all_z, 1), pad)
+    sg = _pad_rows(_flatten_rows(sigma_all, 1), pad)
+    fo = _pad_rows(_flatten_rows(fine_out[..., :-1], 2), pad)
+    co = _pad_rows(_flatten_rows(coarse_out[..., :-1], 2), pad)
+    inputs = [az, sg, fo, co]
     if noise is not None:
         inputs.append(_pad_rows(_flatten_rows(noise, 1), pad))
 
     def kernel(*refs):
-        fo_ref, co_ref, fz_ref, cz_ref = refs[:4]
-        comp_ref, depth_ref, wsum_ref = refs[-3], refs[-2], refs[-1]
-        all_z = jnp.concatenate([fz_ref[...], cz_ref[...]], axis=-1)
-        all_out = jnp.concatenate([fo_ref[...], co_ref[...]], axis=-2)
+        # per-sample axis handled by python-unrolled loops over 2D (RB, 2S)
+        # vectors + VMEM scratch accumulators — a vectorized (RB, 2S, 2S)
+        # formulation makes Mosaic materialize every mask at full tile size
+        # (130MB spill at tile 128, measured)
+        az_ref, sg_ref, fo_ref, co_ref = refs[:4]
+        has_noise = noise is not None
+        nz_ref = refs[4] if has_noise else None
+        comp_ref, depth_ref, wsum_ref = refs[-5], refs[-4], refs[-3]
+        rank_ref, acc_ref = refs[-2], refs[-1]
+        all_z = az_ref[...]
+        rb = all_z.shape[0]
+        iota = _lane_iota(rb, s)
 
-        zi = all_z[:, :, None]
-        zj = all_z[:, None, :]
-        j_lt_i = (jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-                  < jax.lax.broadcasted_iota(jnp.int32, (s, s), 0))
-        before = (zj < zi) | ((zj == zi) & j_lt_i[None])
-        rank = jnp.sum(before.astype(jnp.int32), axis=-1)
+        def before_mask(i):
+            zi = all_z[:, i:i + 1]
+            return (all_z < zi) | ((all_z == zi) & (iota < i))
 
-        sigma = all_out[..., -1]
-        if noise is not None:
-            nz = refs[4][...]
-            iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2)
-            npick = jnp.sum(
-                jnp.where(rank[:, :, None] == iota_s, nz[:, None, :], 0.0),
-                axis=-1)
-            sigma = sigma + npick
+        # pass 1: stable ranks (comparison counting per sample)
+        for i in range(s):
+            rank_ref[:, i:i + 1] = jnp.sum(
+                before_mask(i).astype(jnp.int32), axis=-1, keepdims=True)
+        rank = rank_ref[...]
+
+        # pass 2: delta = z of the rank-successor minus own z
+        for i in range(s):
+            r_i = rank[:, i:i + 1]
+            acc_ref[:, i:i + 1] = jnp.sum(
+                jnp.where(rank == r_i + 1, all_z, 0.0),
+                axis=-1, keepdims=True)
+        deltas = jnp.where(rank == s - 1, 1e10, acc_ref[...] - all_z)
+
+        sigma = sg_ref[...]
+        if has_noise:
+            # sorted-position noise: sample i draws noise[rank_i]
+            nz = nz_ref[...]
+            for i in range(s):
+                r_i = rank[:, i:i + 1]
+                acc_ref[:, i:i + 1] = jnp.sum(
+                    jnp.where(iota == r_i, nz, 0.0), axis=-1, keepdims=True)
+            sigma = sigma + acc_ref[...]
         act = _act(sigma, clamp_mode)
-
-        is_next = rank[:, None, :] == rank[:, :, None] + 1
-        next_z = jnp.sum(jnp.where(is_next, zj, 0.0), axis=-1)
-        deltas = jnp.where(rank == s - 1, 1e10, next_z - all_z)
-
         alphas = 1.0 - jnp.exp(-deltas * act)
-        om = 1.0 - alphas + 1e-10
-        # masked product in log space (no reduce_prod in Mosaic; see
-        # ray_resample)
-        log_om = jnp.log(om)
-        trans = jnp.exp(jnp.sum(
-            jnp.where(before, log_om[:, None, :], 0.0), axis=-1))
-        w = alphas * trans
-        wsum = jnp.sum(w, axis=-1)
-        if last_back:
-            w = w + jnp.where(rank == s - 1, (1.0 - wsum)[:, None], 0.0)
-        comp = jnp.sum(w[:, :, None] * all_out[..., :-1], axis=-2)
-        depth = jnp.sum(w * all_z, axis=-1)
-        if white_back:
-            comp = comp + (1.0 - wsum)[:, None]
-        if black_back:
-            comp = comp - (1.0 - wsum)[:, None]
+        log_om = jnp.log(1.0 - alphas + 1e-10)
 
-        comp = _fill_softmax_epilogue(comp, wsum, fill_mode, fill_color,
-                                      softmax_label, rgb_dim)
+        # pass 3: transmittance = exp(sum of log_om over predecessors)
+        for i in range(s):
+            acc_ref[:, i:i + 1] = jnp.sum(
+                jnp.where(before_mask(i), log_om, 0.0),
+                axis=-1, keepdims=True)
+        w = alphas * jnp.exp(acc_ref[...])
+        wsum = jnp.sum(w, axis=-1, keepdims=True)          # (RB, 1)
+        if last_back:
+            w = w + jnp.where(rank == s - 1, 1.0 - wsum, 0.0)
+        # compositing as an unrolled sum of 2D FMAs: slicing one sample
+        # (rank-2 load at a static mid index) is supported; the rank-3
+        # broadcast w[:, :sf, None] * fo_ref[...] lowers to a Mosaic gather
+        # that fails shape checking (measured on this stack)
+        comp = w[:, 0:1] * fo_ref[:, 0, :]
+        for i in range(1, sf):
+            comp = comp + w[:, i:i + 1] * fo_ref[:, i, :]
+        for i in range(sc):
+            comp = comp + w[:, sf + i:sf + i + 1] * co_ref[:, i, :]
+        depth = jnp.sum(w * all_z, axis=-1, keepdims=True)
+        if white_back:
+            comp = comp + (1.0 - wsum)
+        if black_back:
+            comp = comp - (1.0 - wsum)
+
+        # fill (+ softmax) epilogue, 2D in-kernel form of
+        # _fill_softmax_epilogue (width-1 lane concats only; the softmax is
+        # done in place with a channel mask instead of a split+concat)
+        low = wsum < 0.9                                   # (RB, 1)
+        if fill_mode in ("seg_padding_background",
+                         "eval_seg_padding_background"):
+            fillv = integ._FILL_VALUES[fill_color]
+            bg = jnp.where(low, 1.0, 0.0)
+            rest = jnp.where(low, fillv, comp)
+            comp = jnp.concatenate([bg, rest], axis=-1)    # 1 + C
+        elif fill_mode == "eval_white_back":
+            comp = jnp.where(low, 1.0, comp)
+        elif fill_mode in ("debug", "weight_debug"):
+            first = jnp.where(low, 1.0, comp[:, :1])
+            rest = jnp.where(low, 0.0, comp[:, 1:])
+            comp = jnp.concatenate([first, rest], axis=-1)
+        if softmax_label:
+            n_seg = c_out - rgb_dim
+            cm = _lane_iota(comp.shape[0], c_out) < n_seg
+            mx = jnp.max(jnp.where(cm, comp, -jnp.inf), axis=-1,
+                         keepdims=True)
+            e = jnp.where(cm, jnp.exp(comp - mx), 0.0)
+            comp = jnp.where(cm, e / jnp.sum(e, axis=-1, keepdims=True),
+                             comp)
         comp_ref[...] = comp
-        depth_ref[...] = depth[:, None]
-        wsum_ref[...] = wsum[:, None]
+        depth_ref[...] = depth
+        wsum_ref[...] = wsum
 
     row = lambda c: pl.BlockSpec((tile, c), lambda t: (t, 0),
                                  memory_space=pltpu.VMEM)
-    ch = lambda ss: pl.BlockSpec((tile, ss, c1), lambda t: (t, 0, 0),
+    ch = lambda ss: pl.BlockSpec((tile, ss, c1 - 1), lambda t: (t, 0, 0),
                                  memory_space=pltpu.VMEM)
-    in_specs = [ch(sf), ch(sc), row(sf), row(sc)]
+    in_specs = [row(s), row(s), ch(sf), ch(sc)]
     if noise is not None:
         in_specs.append(row(s))
     n_rows = rows + pad
@@ -292,6 +381,8 @@ def ray_finalize(
         grid=(n_rows // tile,),
         in_specs=in_specs,
         out_specs=(row(c_out), row(1), row(1)),
+        scratch_shapes=[pltpu.VMEM((tile, s), jnp.int32),
+                        pltpu.VMEM((tile, s), jnp.float32)],
         interpret=interpret,
     )(*inputs)
     return (comp[:rows].reshape(b, r, c_out),

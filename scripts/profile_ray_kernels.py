@@ -25,6 +25,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import jax
+import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/fenerf_jax_cache"))
@@ -89,20 +90,89 @@ def main():
         return not only or name in only
 
     if want("base"):
+        # the round-2 path: one-hot permutation merge + one-hot picks
         gen.RAY_KERNELS = "never"
-        res["base_ms"] = time_render(base, params, fcfg, film_g, film_a,
-                                     "base")
+        orig_cm, orig_pick = integ.composite_merged_nosort, integ.PICK_IMPL
+        integ.composite_merged_nosort = integ.composite_merged
+        integ.PICK_IMPL = "onehot"
+        try:
+            res["base_ms"] = time_render(base, params, fcfg, film_g, film_a,
+                                         "base")
+        finally:
+            integ.composite_merged_nosort = orig_cm
+            integ.PICK_IMPL = orig_pick
 
     if want("nosort"):
+        # the shipped default since round 3
         gen.RAY_KERNELS = "never"
-        orig_cm, orig_pick = integ.composite_merged, integ.PICK_IMPL
-        integ.composite_merged = integ.composite_merged_nosort
-        integ.PICK_IMPL = "reduce"
+        res["nosort_ms"] = time_render(base, params, fcfg, film_g,
+                                       film_a, "nosort")
+
+    if want("nosort_nofill"):
+        # fill-mode cost under the new default (ROADMAP lever (d): 246ms
+        # ablation on the round-2 path): shape-identical no-op fill
+        gen.RAY_KERNELS = "never"
+        orig_fill = integ.apply_fill
+
+        def noop_fill(comp, wsum, fill_mode, fill_color="black"):
+            if fill_mode in ("seg_padding_background",
+                             "eval_seg_padding_background"):
+                return jnp.concatenate(
+                    [jnp.zeros_like(comp[..., :1]), comp], axis=-1)
+            return comp
+
+        integ.apply_fill = noop_fill
         try:
-            res["nosort_ms"] = time_render(base, params, fcfg, film_g,
-                                           film_a, "nosort")
+            res["nosort_nofill_ms"] = time_render(
+                base, params, fcfg, film_g, film_a, "nosort_nofill")
         finally:
-            integ.composite_merged, integ.PICK_IMPL = orig_cm, orig_pick
+            integ.apply_fill = orig_fill
+
+    if want("nosort_nopdf"):
+        gen.RAY_KERNELS = "never"
+        orig_pdf = integ.sample_pdf
+        integ.sample_pdf = (
+            lambda key, bins, w, n, det=False, eps=1e-5, u=None:
+            jnp.broadcast_to(bins.mean(-1, keepdims=True),
+                             w.shape[:-1] + (n,)))
+        try:
+            res["nosort_nopdf_ms"] = time_render(
+                base, params, fcfg, film_g, film_a, "nosort_nopdf")
+        finally:
+            integ.sample_pdf = orig_pdf
+
+    if want("nosort_noproposal"):
+        gen.RAY_KERNELS = "never"
+        orig_w = integ.integrate_weights
+        integ.integrate_weights = (
+            lambda s_, z, noise=None, noise_std=0.5, clamp_mode="relu":
+            jnp.ones_like(z))
+        try:
+            res["nosort_noproposal_ms"] = time_render(
+                base, params, fcfg, film_g, film_a, "nosort_noproposal")
+        finally:
+            integ.integrate_weights = orig_w
+
+    if want("nosort_nomerge"):
+        gen.RAY_KERNELS = "never"
+        orig_cm = integ.composite_merged_nosort
+        integ.composite_merged_nosort = (
+            lambda fo, co, fz, cz, noise=None, noise_std=0.5, **kw:
+            integ.integrate(jnp.concatenate([fo, co], -2),
+                            jnp.concatenate([fz, cz], -1),
+                            key=None, noise=noise, noise_std=noise_std,
+                            **kw))
+        try:
+            res["nosort_nomerge_ms"] = time_render(
+                base, params, fcfg, film_g, film_a, "nosort_nomerge")
+        finally:
+            integ.composite_merged_nosort = orig_cm
+
+    if want("nosort_flat48"):
+        gen.RAY_KERNELS = "never"
+        res["nosort_flat48_ms"] = time_render(
+            base.replace(hierarchical=False, num_steps=2 * STEPS),
+            params, fcfg, film_g, film_a, "nosort_flat48")
 
     gen.RAY_KERNELS = "auto"
     if want("kernels"):

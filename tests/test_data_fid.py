@@ -112,6 +112,22 @@ class TestDataset:
         # one-hot partition: exactly one +1 per pixel across 19 channels
         assert np.all(((labels + 1) / 2).sum(0) == 1.0)
 
+    def test_single_image_variant(self, tmp_path):
+        """CelebAMaskHQ_single_image_wo_background_seg_18: one hardcoded
+        demo pair (datasets.py:551-634)."""
+        os.makedirs(tmp_path / "demo_mask_img")
+        os.makedirs(tmp_path / "demo_mask_mask")
+        rng = np.random.RandomState(1)
+        Image.fromarray((rng.rand(300, 300, 3) * 255).astype(np.uint8)).save(
+            tmp_path / "demo_mask_img" / "97.jpg")
+        Image.fromarray(rng.randint(0, 19, (300, 300)).astype(np.uint8),
+                        mode="L").save(tmp_path / "demo_mask_mask" / "97.png")
+        ds = make_dataset("CelebAMaskHQ_single_image_wo_background_seg_18",
+                          str(tmp_path), img_size=32)
+        assert len(ds) == 1
+        img, labels = ds[0]
+        assert img.shape == (3, 32, 32) and labels.shape == (18, 32, 32)
+
     def test_iterate_batches_sharded(self, mask_dataset_root):
         ds = CelebAMaskDataset(mask_dataset_root, img_size=16)
         batches = []

@@ -110,6 +110,52 @@ class TestShardedTrainStep:
         assert np.isfinite(float(metrics["g_loss"]))
         assert int(new_state.step) == 1
 
+    def test_mesh_size_invariance(self):
+        """Same GLOBAL batch on 1/2/4/8-device meshes must produce the same
+        updated state and metrics (SPMD math is mesh-size independent; only
+        the all-reduce association order may move last ulps). Guards the
+        per-device batch / sharding arithmetic real multi-chip hardware hits
+        first (apps/train.py meta_at + shard_batch)."""
+        meta = tiny_meta(batch_size=8, batch_split=1, img_size=8, num_steps=2)
+        rng = np.random.RandomState(0)
+        imgs_np = rng.randn(8, 3, 8, 8).astype(np.float32)
+        labels_np = rng.randn(8, 18, 8, 8).astype(np.float32)
+        scal = looplib.StepScalars(
+            alpha=jnp.asarray(1.0), noise_std=jnp.asarray(0.5),
+            topk_frac=jnp.asarray(1.0),
+        )
+
+        results = {}
+        for n in (1, 2, 4, 8):
+            mesh = sharding.data_mesh(jax.devices()[:n])
+            state = sharding.replicate(
+                mesh, looplib.init_train_state(jax.random.key(0), meta))
+            imgs, labels = sharding.shard_batch(mesh, imgs_np, labels_np)
+            # per-device batch = global / n
+            assert imgs.sharding.shard_shape(imgs.shape)[0] == 8 // n
+            step_fn = sharding.jit_train_step_sharded(meta, mesh)
+            with mesh:
+                new_state, metrics = step_fn(state, imgs, labels,
+                                             jax.random.key(1), scal)
+            sharding.check_replica_consistency(new_state.g_params, mesh)
+            leaves = jax.tree_util.tree_leaves(
+                jax.device_get(new_state.g_params))
+            results[n] = (np.concatenate([np.ravel(l) for l in leaves]),
+                          float(metrics["g_loss"]),
+                          float(metrics["d_img_loss"]))
+
+        ref_vec, ref_g, ref_d = results[1]
+        for n in (2, 4, 8):
+            vec, g, d = results[n]
+            # Adam's sqrt amplifies the all-reduce association-order ulps
+            # into O(1e-4) on isolated params (measured 1/11382 at 9.9e-5);
+            # real semantic divergence (wrong batch slice, double-counted
+            # grads) shows up at O(1e-1)
+            np.testing.assert_allclose(vec, ref_vec, atol=5e-4,
+                                       err_msg=f"params diverge at n={n}")
+            np.testing.assert_allclose(g, ref_g, atol=1e-3)
+            np.testing.assert_allclose(d, ref_d, atol=1e-3)
+
 
 class TestCurriculum:
     def test_stage_resolution(self):
