@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fenerf_tpu.models import generator as genlib
+from fenerf_tpu.utils import checkpoint
 from fenerf_tpu.nn import fields  # noqa: F401 (re-export for callers)
 
 
@@ -40,7 +41,7 @@ def save_generator(
                        ("ema2", ema2_params)):
         leaves = jax.tree_util.tree_leaves(tree)
         for i, leaf in enumerate(leaves):
-            arrays[f"{name}_{i}"] = np.asarray(leaf)
+            arrays[f"{name}_{i}"] = checkpoint.to_local_np(leaf)
         config[f"n_{name}"] = len(leaves)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     tmp = path + ".tmp.npz"

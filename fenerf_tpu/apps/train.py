@@ -283,7 +283,8 @@ def main(argv=None):
             jax.profiler.stop_trace()
 
         if host_index == 0 and step % args.log_every == 0:
-            mvals = {k: float(v) for k, v in metrics.items()}
+            mvals = {k: float(v)
+                     for k, v in sharding.local_get(metrics).items()}
             stats.report(**mvals)
             # divergence watchdog: halt + keep the last good checkpoint
             # instead of wasting the rest of the run (the reference has no
@@ -326,7 +327,7 @@ def main(argv=None):
             )
         if (host_index == 0 and args.sample_interval > 0
                 and step % args.sample_interval == 0):
-            sample_grids(jax.device_get(state), m, step)
+            sample_grids(sharding.local_get(state), m, step)
 
         if args.eval_freq > 0 and step % args.eval_freq == 0:
             real_dir = os.path.join(args.output_dir, "evaluation/real")
@@ -338,7 +339,11 @@ def main(argv=None):
             fcfg = m.field_config()
             ecfg = m.eval_render_config(
                 img_size=min(128, m.target_size), ray_chunk=4096)
-            ema_params = jax.device_get(state.ema.params)
+            # local-shard fetch: device_get here would dispatch a Gloo
+            # all-gather whose timing must line up across hosts (it was the
+            # rehearsal deadlock); the EMA params are replicated, so each
+            # host reads its own copy.
+            ema_params = sharding.local_get(state.ema.params)
 
             def render_batch(k, n):
                 kg, ka = jax.random.split(k)

@@ -23,6 +23,7 @@ integrate -> NCHW pixels in [-1, 1].
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, NamedTuple
 
 import jax
@@ -87,6 +88,14 @@ class RenderConfig:
 # (tile, 2S, 2S) intermediate at full tile size; the fusible nosort XLA path
 # below is the measured-fastest production path, PROFILE_RAYK.json).
 RAY_KERNELS = "never"
+
+# Apply fill/softmax once per image OUTSIDE the ray-block lax.map (default)
+# instead of inside each block body. The ops are elementwise per ray, so the
+# result is identical; inside the loop body the channel-axis concat of
+# apply_fill broke XLA's epilogue fusion on every block (the ~240ms
+# "fill/softmax" ablation of PROFILE_RAYK.json). Set FENERF_FILL_HOIST=0 to
+# restore the in-body application for A/B profiling.
+FILL_HOIST = os.environ.get("FENERF_FILL_HOIST", "1") != "0"
 
 
 def _ray_kernels_enabled(rcfg: "RenderConfig") -> bool:
@@ -186,8 +195,10 @@ def _shade_rays(field_fn, output_dim, rcfg, origins, dirs, z_vals,
             fine, coarse, fine_z, z_vals, scale(noise.final),
             clamp_mode=rcfg.clamp_mode, last_back=rcfg.last_back,
             white_back=rcfg.white_back, black_back=rcfg.black_back,
-            fill_mode=rcfg.fill_mode, fill_color=rcfg.fill_color,
-            softmax_label=rcfg.softmax_label, interpret=interp)
+            fill_mode=None if FILL_HOIST else rcfg.fill_mode,
+            fill_color=rcfg.fill_color,
+            softmax_label=False if FILL_HOIST else rcfg.softmax_label,
+            interpret=interp)
         return comp, depth, wsum
 
     if rcfg.hierarchical:
@@ -226,12 +237,22 @@ def _shade_rays(field_fn, output_dim, rcfg, origins, dirs, z_vals,
             clamp_mode=rcfg.clamp_mode, last_back=rcfg.last_back,
             white_back=rcfg.white_back, black_back=rcfg.black_back,
         )
-    comp = integ.apply_fill(res.comp, res.weights_sum, rcfg.fill_mode,
+    if FILL_HOIST:
+        return res.comp, res.depth, res.weights_sum
+    comp = _finalize_comp(res.comp, res.weights_sum, rcfg)
+    return comp, res.depth, res.weights_sum
+
+
+def _finalize_comp(comp, weights_sum, rcfg):
+    """Per-ray fill + optional label softmax — elementwise across rays, so it
+    can run once on the assembled image instead of inside every ray block
+    (see FILL_HOIST)."""
+    comp = integ.apply_fill(comp, weights_sum, rcfg.fill_mode,
                             rcfg.fill_color)
     if rcfg.softmax_label:
         seg, rgb = comp[..., :-3], comp[..., -3:]
         comp = jnp.concatenate([jax.nn.softmax(seg, axis=-1), rgb], axis=-1)
-    return comp, res.depth, res.weights_sum
+    return comp
 
 
 def _shade_chunked(field_fn, output_dim, rcfg, origins, dirs, z_vals,
@@ -323,8 +344,8 @@ def render_core(
     comp, depth, weights_sum = _shade_chunked(
         field_fn, output_dim, rcfg, tr.ray_origins, tr.ray_dirs, tr.z_vals,
         noise, noise_std)
-    # (fill + optional label softmax applied per-ray inside _shade_rays /
-    # the fused ray-finalize kernel)
+    if FILL_HOIST:
+        comp = _finalize_comp(comp, weights_sum, rcfg)
 
     hw = rcfg.img_size
     pixels = comp.reshape(batch_size, hw, hw, -1).transpose(0, 3, 1, 2) * 2.0 - 1.0
@@ -429,9 +450,11 @@ def render_image_sharded(
         field_fn = _film_field_fn(params, fcfg, rcfg, film_geo, film_app)
         noise = draw_ray_noise(k_cnoise, k_pdf, k_fnoise,
                                batch_size, rows_per * h, rcfg, noise_std)
-        comp, _, _ = _shade_chunked(
+        comp, _, wsum = _shade_chunked(
             field_fn, fcfg.output_dim, rcfg, tr.ray_origins, tr.ray_dirs,
             tr.z_vals, noise, noise_std)
+        if FILL_HOIST:
+            comp = _finalize_comp(comp, wsum, rcfg)
         c = comp.shape[-1]
         return comp.reshape(batch_size, rows_per, h, c)
 

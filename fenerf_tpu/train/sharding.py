@@ -50,6 +50,15 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, sh)
 
 
+def local_get(tree):
+    """Collective-free device_get for replicated trees (multi-host safe).
+
+    See checkpoint.to_local_np: device_get on a global array triggers a
+    Gloo/ICI all-gather, which deadlocks when only some hosts call it."""
+    from fenerf_tpu.utils.checkpoint import to_local_np
+    return jax.tree_util.tree_map(to_local_np, tree)
+
+
 def check_replica_consistency(tree, mesh: Mesh, atol: float = 0.0) -> None:
     """Assert replicated values are bit-identical across devices — the SPMD
     analogue of the reference's (vendored, uncalled) check_ddp_consistency

@@ -17,18 +17,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def to_local_np(x: Any) -> np.ndarray:
+    """Fetch an array value WITHOUT dispatching cross-host collectives.
+
+    np.asarray / float() on a multi-process global jax.Array issues an
+    all-gather through the distributed CPU backend (Gloo); reached from a
+    host-gated branch (rank-0 logging/saving) the other hosts never join
+    and the whole fleet deadlocks on a 30s connect timeout. Replicated
+    (PartitionSpec()) arrays hold the full value in every local shard, so
+    reading the first addressable shard is equivalent and purely local.
+    Callers must only pass replicated or single-device arrays.
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return np.asarray(x.addressable_shards[0].data)
+    return np.asarray(x)
+
+
 def _flatten_with_paths(tree: Any) -> dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-        flat[key] = np.asarray(leaf)
+        flat[key] = to_local_np(leaf)
     return flat
 
 
 def save(path: str, tree: Any) -> None:
     """Save a pytree (nested dict/list/tuple of arrays + scalars) to .npz."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays = {f"leaf_{i}": to_local_np(x) for i, x in enumerate(leaves)}
     manifest = json.dumps({"treedef": str(treedef), "n": len(leaves)})
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     tmp = path + ".tmp.npz"  # .npz suffix stops np.savez appending its own

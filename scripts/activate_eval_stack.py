@@ -1,4 +1,4 @@
-"""One-command activation of the weights-gated evaluation stack.
+r"""One-command activation of the weights-gated evaluation stack.
 
 The container has zero egress, so three reference-comparable features are
 gated on weight files (README "Feature gates"). The moment the files exist,

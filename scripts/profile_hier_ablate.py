@@ -53,6 +53,13 @@ def time_render(rcfg, params, fcfg, film_g, film_a, label):
     t0 = time.perf_counter()
     float(render(params, key, film_g, film_a))
     log(f"{label}: compile+first {time.perf_counter() - t0:.1f}s")
+    # measured (BASELINE.md "first-execution artifact"): the 2nd execution in
+    # a process is ~1s slower than steady state — warm until stable so the
+    # first-measured variant is not inflated by ~1s/ITERS (this artifact
+    # produced round-2's phantom 246ms "fill fusion break")
+    for w in range(2):
+        float(render(params, jax.random.fold_in(key, 100 + w),
+                     film_g, film_a))
     t0 = time.perf_counter()
     vals = [render(params, jax.random.fold_in(key, i), film_g, film_a)
             for i in range(ITERS)]

@@ -58,6 +58,11 @@ def time_render(rcfg, params, fcfg, film_g, film_a, label):
         log(f"{label}: FAILED {type(e).__name__}: {str(e)[:300]}")
         return None
     log(f"{label}: compile+first {time.perf_counter() - t0:.1f}s")
+    # warm past the ~1s second-execution artifact (BASELINE.md) so the
+    # first-measured variant is comparable to later ones
+    for w in range(2):
+        float(render(params, jax.random.fold_in(key, 100 + w),
+                     film_g, film_a))
     t0 = time.perf_counter()
     vals = [render(params, jax.random.fold_in(key, i), film_g, film_a)
             for i in range(ITERS)]

@@ -182,6 +182,35 @@ class TestRenderProperties:
             np.asarray(a["opacity"]), np.asarray(b["opacity"]), atol=1e-4
         )
 
+    def test_fill_hoist_equivalent(self):
+        """FILL_HOIST applies fill/softmax once per image instead of inside
+        every ray block; elementwise per ray, so results agree to reduction-
+        order ulps (the hoist is the fix for the ~240ms per-block fusion
+        break, PROFILE_RAYK.json nosort_nofill ablation)."""
+        _, params, fcfg = _small_models()
+        zg = jnp.asarray(np.random.RandomState(2).randn(2, 8).astype(np.float32))
+        za = jnp.asarray(np.random.RandomState(3).randn(2, 8).astype(np.float32))
+        prev = gen.FILL_HOIST
+        try:
+            for kw in ({"fill_mode": "seg_padding_background",
+                        "softmax_label": True},
+                       {"fill_mode": "seg_padding_background"},
+                       {"fill_mode": "eval_white_back"}):
+                rcfg = gen.RenderConfig(img_size=16, num_steps=6,
+                                        hierarchical=True, ray_chunk=64, **kw)
+                outs = {}
+                for hoist in (True, False):
+                    gen.FILL_HOIST = hoist
+                    outs[hoist] = gen.render_from_z(
+                        params, fcfg, rcfg, jax.random.key(5), zg, za,
+                        noise_std=0.5)
+                for k in ("pixels", "depth", "opacity"):
+                    np.testing.assert_allclose(
+                        np.asarray(outs[True][k]), np.asarray(outs[False][k]),
+                        atol=1e-6, err_msg=f"{kw} {k}")
+        finally:
+            gen.FILL_HOIST = prev
+
     def test_hierarchical_shapes_and_grads(self):
         _, params, fcfg = _small_models()
         rcfg = gen.RenderConfig(img_size=8, num_steps=6, hierarchical=True)
