@@ -137,5 +137,9 @@ def inception_features(path: str | None = None):
     from fenerf_tpu.nn.inception import inception_pool3, load_npz
 
     params = load_npz(path)
-    fn = jax.jit(lambda imgs: inception_pool3(params, imgs))
-    return lambda imgs: fn(jax.numpy.asarray(imgs, jax.numpy.float32))
+    # params must be a jit ARGUMENT, not a closure capture: captured weights
+    # become XLA constants and the compiler constant-folds whole conv/pool
+    # chains over them (>20min compile on CPU — it blew the multihost eval
+    # barrier in the FID dress rehearsal)
+    fn = jax.jit(inception_pool3)
+    return lambda imgs: fn(params, jax.numpy.asarray(imgs, jax.numpy.float32))

@@ -15,6 +15,8 @@ builds (random init) for shape/pipeline tests.
 """
 from __future__ import annotations
 
+import functools
+
 from typing import Any, Mapping
 
 import jax
@@ -43,15 +45,33 @@ def _max_pool(x, k=3, s=2, pad=0):
         [(0, 0), (0, 0), (pad, pad), (pad, pad)])
 
 
+@functools.lru_cache(maxsize=None)
+def _pool_counts(h: int, w: int, k: int, s: int, pad: int):
+    """Valid-cell counts per output position for count_include_pad=False.
+
+    Computed in numpy at TRACE time: expressing this as
+    reduce_window(ones_like(x)) hands XLA a full-tensor constant fold that
+    its single-threaded HLO evaluator chews on for MINUTES per pool layer
+    on CPU (it blew the multihost eval barrier in the FID rehearsal); the
+    counts depend only on static shapes, so bake the (oh, ow) matrix."""
+    padded = np.zeros((h + 2 * pad, w + 2 * pad), np.float32)
+    padded[pad:pad + h, pad:pad + w] = 1.0
+    oh = (h + 2 * pad - k) // s + 1
+    ow = (w + 2 * pad - k) // s + 1
+    out = np.empty((oh, ow), np.float32)
+    for i in range(oh):
+        for j in range(ow):
+            out[i, j] = padded[i * s:i * s + k, j * s:j * s + k].sum()
+    return out
+
+
 def _avg_pool_nocount(x, k=3, s=1, pad=1):
     """avg_pool3x3 with count_include_pad=False (the FID tweak)."""
     sums = jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, 1, k, k), (1, 1, s, s),
         [(0, 0), (0, 0), (pad, pad), (pad, pad)])
-    counts = jax.lax.reduce_window(
-        jnp.ones_like(x), 0.0, jax.lax.add, (1, 1, k, k), (1, 1, s, s),
-        [(0, 0), (0, 0), (pad, pad), (pad, pad)])
-    return sums / counts
+    counts = _pool_counts(x.shape[2], x.shape[3], k, s, pad)
+    return sums / jnp.asarray(counts)[None, None]
 
 
 # ---------------------------------------------------------------------------
