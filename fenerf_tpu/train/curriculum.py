@@ -80,6 +80,16 @@ class StageMeta:
     # DiffAugment policy applied to BOTH real and fake discriminator inputs
     # ('' = off; the reference ships diff_augment.py unwired — SURVEY §2.1)
     diff_augment_policy: str = ""
+    # TPU accumulation mode: run the G phase (and the D-phase fake renders)
+    # over the FULL batch in one program instead of the batch_split
+    # scan/map, while computing the exact split-structured objective
+    # (per-chunk topk + summed per-chunk means), so batch_split keeps its
+    # reference meaning (train_double_latent_semantic.py:401-457) as a pure
+    # memory knob. Only the partition of RNG draws across samples differs.
+    # The scan costs ~29% of the step at the 32px stage of record
+    # (PROFILE_TRAIN.json base vs split1) — enable wherever the full-batch
+    # VJP fits HBM.
+    full_batch: bool = False
     # extra FieldConfig replacements, e.g. (("hidden_dim", 16),) for tiny
     # test/dry-run instantiations of the full architecture
     field_overrides: tuple = ()

@@ -140,15 +140,17 @@ def _render_fakes(g_params, fcfg, rcfg, meta, key, z_geo, z_app, noise_std):
     if jax.default_backend() == "tpu" and film_ops.supported(fcfg):
         rcfg = rcfg.replace(backend="pallas")
     b = z_geo.shape[0]
-    s = meta.batch_split
+    s = 1 if meta.full_batch else meta.batch_split
     assert b % s == 0, f"batch {b} not divisible by batch_split {s}"
-    keys = jax.random.split(key, s)
 
     def one(args):
         k, zg, za = args
         out = gen.render_any(g_params, fcfg, rcfg, k, zg, za, noise_std)
         return out["pixels"], out["position"], out["opacity"].mean()
 
+    if s == 1:
+        return one((key, z_geo, z_app))
+    keys = jax.random.split(key, s)
     pix, pos, op = jax.lax.map(
         one, (keys, z_geo.reshape(s, b // s, -1), z_app.reshape(s, b // s, -1))
     )
@@ -164,11 +166,16 @@ def _d_loss(
         s, *_ = disc.apply_discriminator(d_params, dcfg, x, alpha)
         return s.sum(), s
 
-    (_, r_scores), r1_grad = jax.value_and_grad(
-        real_score_sum, has_aux=True)(real_in)
-    b = real_in.shape[0]
-    r1 = (r1_grad.reshape(b, -1) ** 2).sum(-1).mean()
-    r1 = 0.5 * meta.r1_lambda * r1
+    if meta.r1_lambda:
+        (_, r_scores), r1_grad = jax.value_and_grad(
+            real_score_sum, has_aux=True)(real_in)
+        b = real_in.shape[0]
+        r1 = (r1_grad.reshape(b, -1) ** 2).sum(-1).mean()
+        r1 = 0.5 * meta.r1_lambda * r1
+    else:
+        # r1_lambda == 0: drop the double-backprop at trace time
+        _, r_scores = real_score_sum(real_in)
+        r1 = 0.0
 
     f_score, f_geo, f_app, f_pos = disc.apply_discriminator(
         d_params, dcfg, fake_in, alpha)
@@ -198,9 +205,23 @@ def _topk_mean(values_by_score_desc, frac):
     return jnp.sum(values_by_score_desc * mask) / k
 
 
+def _chunk_topk_softplus(scores, frac, n_chunks):
+    """Sum over n_chunks virtual microbatches of the per-chunk topk-GAN
+    term: softplus(-score) averaged over the ceil(frac*chunk) best-scored
+    fakes of each chunk (reference applies topk within each split chunk,
+    train_double_latent_semantic.py:420-424). n_chunks=1 is the plain
+    per-microbatch term the scan path uses."""
+    rows = jnp.sort(scores.reshape(n_chunks, -1), axis=1)[:, ::-1]
+    sp = jax.nn.softplus(-rows)
+    bs = rows.shape[1]
+    k = jnp.ceil(frac * bs).astype(jnp.int32)
+    mask = (jnp.arange(bs) < k).astype(sp.dtype)
+    return jnp.sum(sp * mask) / k
+
+
 def _g_loss(
     g_params, d_img_params, d_seg_params, fcfg, rcfg, meta: StageMeta,
-    key, z_geo, z_app, scal: StepScalars,
+    key, z_geo, z_app, scal: StepScalars, n_chunks: int = 1,
 ):
     out = gen.render_any(g_params, fcfg, rcfg, key, z_geo, z_app,
                          scal.noise_std)
@@ -226,9 +247,11 @@ def _g_loss(
             t += meta.pos_lambda * _mse(pos, positions)
         return t
 
-    img_sp = jax.nn.softplus(-jnp.sort(img_s[:, 0])[::-1])
-    g_img_loss = _topk_mean(img_sp, scal.topk_frac) + identity(
-        img_geo, img_app, img_pos)
+    # identity() is a per-sample mean; the sum of its per-chunk means over
+    # an equal-size partition is exactly n_chunks * the full-batch mean.
+    g_img_loss = (
+        _chunk_topk_softplus(img_s[:, 0], scal.topk_frac, n_chunks)
+        + n_chunks * identity(img_geo, img_app, img_pos))
 
     g_seg_loss = 0.0
     if has_seg:
@@ -236,10 +259,9 @@ def _g_loss(
             [pixels[:, :-3], jax.lax.stop_gradient(fake_rgb)], axis=1)
         seg_s, seg_geo, seg_app, seg_pos = disc.apply_discriminator(
             d_seg_params, meta.disc_seg_config(), seg_in, scal.alpha)
-        seg_sp = jax.nn.softplus(-jnp.sort(seg_s[:, 0])[::-1])
         g_seg_loss = (
-            _topk_mean(seg_sp, scal.topk_frac)
-            + identity(seg_geo, seg_app, seg_pos)
+            _chunk_topk_softplus(seg_s[:, 0], scal.topk_frac, n_chunks)
+            + n_chunks * identity(seg_geo, seg_app, seg_pos)
         ) * meta.g_seg_loss_lambda
 
     return g_img_loss + g_seg_loss, (g_img_loss, g_seg_loss)
@@ -256,6 +278,11 @@ def train_step(
     key: jax.Array,
     scal: StepScalars,
     meta: StageMeta,         # static
+    ablate: str | None = None,  # PROFILING ONLY (scripts/profile_train.py):
+                                # numerics-breaking no-ops of one phase each —
+                                # "dimg" / "dseg" / "g" skip that optimizer
+                                # phase entirely; "dfakes" feeds the D phases
+                                # zeros instead of rendered fakes
 ) -> tuple[TrainState, dict[str, jax.Array]]:
     fcfg = meta.field_config()
     rcfg = meta.render_config()
@@ -296,28 +323,38 @@ def train_step(
 
     metrics = {}
 
+    def render_or_zeros(k_z, k_f):
+        zg, za = draw_z(k_z)
+        if ablate == "dfakes":
+            pix = jnp.zeros((b, meta.output_dim - 1, meta.img_size,
+                             meta.img_size))
+            return zg, za, pix, jnp.zeros((b, 2)), jnp.asarray(0.0)
+        pix, pos, op = jax.lax.stop_gradient(
+            _render_fakes(state.g_params, fcfg, rcfg, meta, k_f, zg, za,
+                          scal.noise_std))
+        return zg, za, pix, pos, op
+
     # ---------------- D_img ----------------
-    zg, za = draw_z(k_zi)
-    fake_pix, fake_pos, fake_op = jax.lax.stop_gradient(
-        _render_fakes(state.g_params, fcfg, rcfg, meta, k_fi, zg, za,
-                      scal.noise_std))
-    metrics["fake_opacity"] = fake_op
-    d_img_loss, d_img_grads = jax.value_and_grad(_d_loss)(
-        state.d_img_params, meta.disc_img_config(), meta,
-        aug(k_aug, real_imgs), aug(k_aug, fake_pix[:, -3:]), zg, za,
-        fake_pos, scal.alpha)
-    tx_img = make_d_optimizer(meta, "img")
-    upd, opt_img = tx_img.update(d_img_grads, state.opt_img,
-                                 state.d_img_params)
-    d_img_params = optax.apply_updates(state.d_img_params, upd)
-    metrics["d_img_loss"] = d_img_loss
+    if ablate == "dimg":
+        d_img_params, opt_img = state.d_img_params, state.opt_img
+        metrics["d_img_loss"] = jnp.asarray(0.0)
+        metrics["fake_opacity"] = jnp.asarray(0.0)
+    else:
+        zg, za, fake_pix, fake_pos, fake_op = render_or_zeros(k_zi, k_fi)
+        metrics["fake_opacity"] = fake_op
+        d_img_loss, d_img_grads = jax.value_and_grad(_d_loss)(
+            state.d_img_params, meta.disc_img_config(), meta,
+            aug(k_aug, real_imgs), aug(k_aug, fake_pix[:, -3:]), zg, za,
+            fake_pos, scal.alpha)
+        tx_img = make_d_optimizer(meta, "img")
+        upd, opt_img = tx_img.update(d_img_grads, state.opt_img,
+                                     state.d_img_params)
+        d_img_params = optax.apply_updates(state.d_img_params, upd)
+        metrics["d_img_loss"] = d_img_loss
 
     # ---------------- D_seg ----------------
-    if has_seg:
-        zg, za = draw_z(k_zs)
-        fake_pix, fake_pos, _ = jax.lax.stop_gradient(
-            _render_fakes(state.g_params, fcfg, rcfg, meta, k_fs, zg, za,
-                          scal.noise_std))
+    if has_seg and ablate != "dseg":
+        zg, za, fake_pix, fake_pos, _ = render_or_zeros(k_zs, k_fs)
         real_seg_in = jnp.concatenate([real_labels, real_imgs], axis=1)
         d_seg_loss, d_seg_grads = jax.value_and_grad(_d_loss)(
             state.d_seg_params, meta.disc_seg_config(), meta,
@@ -332,8 +369,43 @@ def train_step(
         metrics["d_seg_loss"] = jnp.asarray(0.0)
 
     # ---------------- G (grad-accumulated over batch_split) -------------
+    if ablate == "g":
+        metrics.update(g_loss=jnp.asarray(0.0), g_img_loss=jnp.asarray(0.0),
+                       g_seg_loss=jnp.asarray(0.0))
+        metrics["d_loss"] = metrics["d_img_loss"] + metrics["d_seg_loss"]
+        return TrainState(
+            g_params=state.g_params, d_img_params=d_img_params,
+            d_seg_params=d_seg_params, opt_g=state.opt_g, opt_img=opt_img,
+            opt_seg=opt_seg, ema=state.ema, ema2=state.ema2,
+            step=state.step + 1,
+        ), metrics
     zg, za = draw_z(k_zg)
     s = meta.batch_split
+
+    if meta.full_batch:
+        # One full-batch VJP computing the exact split-s objective
+        # (per-chunk topk + summed chunk means) — grads match the scan
+        # path; only the partition of RNG draws differs. Measured 29%
+        # faster than the split-4 scan at the 32px stage of record.
+        (g_loss, (g_img_loss, g_seg_loss)), g_grads = jax.value_and_grad(
+            _g_loss, has_aux=True)(
+            state.g_params, d_img_params, d_seg_params, fcfg, g_rcfg, meta,
+            k_fg, zg, za, scal, s)
+        tx_g = make_g_optimizer(meta, state.g_params)
+        upd, opt_g = tx_g.update(g_grads, state.opt_g, state.g_params)
+        g_params = optax.apply_updates(state.g_params, upd)
+        metrics.update(g_loss=g_loss, g_img_loss=g_img_loss,
+                       g_seg_loss=g_seg_loss)
+        metrics["d_loss"] = metrics["d_img_loss"] + metrics["d_seg_loss"]
+        return TrainState(
+            g_params=g_params, d_img_params=d_img_params,
+            d_seg_params=d_seg_params, opt_g=opt_g, opt_img=opt_img,
+            opt_seg=opt_seg,
+            ema=emalib.ema_update(state.ema, g_params),
+            ema2=emalib.ema_update(state.ema2, g_params),
+            step=state.step + 1,
+        ), metrics
+
     bs = b // s
     gkeys = jax.random.split(k_fg, s)
 

@@ -1,0 +1,139 @@
+"""Graph-level attribution of the training-step time (imgs/s/chip).
+
+Same methodology as scripts/profile_hier_ablate.py (3 warmups per program —
+see BASELINE.md "first-execution artifact"): each variant swaps ONE phase of
+the jitted GAN step for a numerics-breaking no-op of identical output shape
+and re-times the FULL step at a stage-of-record config.
+
+  base       unmodified step (D_img + D_seg + G + EMA)
+  no_dimg    D_img phase skipped (its fake render + fwd/bwd + Adam)
+  no_dseg    D_seg phase skipped
+  no_g       G phase skipped (its renders + VJP + Adam + both EMAs)
+  no_dfakes  D phases fed zeros instead of rendered fakes (isolates the two
+             forward-only renders from the D fwd/bwd work)
+  no_r1      r1_lambda=0 (drops the double-backprop on real scores at trace
+             time; legit config, numerics-breaking for the GAN)
+  split1     batch_split=1 (one full-batch G render instead of the scan over
+             microbatches; changes G loss scale — perf reading only)
+
+Usage: python scripts/profile_train.py [--img 32] [--bs 24] [--steps 24]
+          [--split 4] [--iters 6] [--variants base,no_g,...]
+Writes PROFILE_TRAIN.json (merged per-config). Run alone (one TPU process).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/fenerf_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+from fenerf_tpu.train import curriculum as curlib
+from fenerf_tpu.train import loop as looplib
+
+ALL_VARIANTS = ("base", "no_dimg", "no_dseg", "no_g", "no_dfakes", "no_r1",
+                "split1", "full")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def time_step(meta, state, imgs, labels, ablate, iters):
+    from functools import partial
+
+    step = jax.jit(partial(looplib.train_step, meta=meta, ablate=ablate),
+                   donate_argnums=(0,))
+    key = jax.random.key(11)
+    scal = looplib.StepScalars(alpha=jnp.float32(1.0),
+                               noise_std=jnp.float32(0.5),
+                               topk_frac=jnp.float32(1.0))
+    t0 = time.perf_counter()
+    state, m = step(state, imgs, labels, key, scal)
+    float(m["g_loss"])
+    log(f"  compile+first {time.perf_counter() - t0:.1f}s")
+    for _ in range(3):  # first-execution artifact (BASELINE.md)
+        state, m = step(state, imgs, labels, key, scal)
+    float(m["g_loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, imgs, labels, key, scal)
+    float(m["g_loss"])
+    ms = (time.perf_counter() - t0) / iters * 1000.0
+    return ms, state
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--img", type=int, default=32)
+    p.add_argument("--bs", type=int, default=24)
+    p.add_argument("--steps", type=int, default=24)
+    p.add_argument("--split", type=int, default=4)
+    p.add_argument("--iters", type=int, default=6)
+    p.add_argument("--variants", default=",".join(ALL_VARIANTS))
+    p.add_argument("--curriculum",
+                   default="CelebA_double_semantic_texture_embedding_256_dim_96")
+    args = p.parse_args()
+
+    meta = dataclasses.replace(
+        curlib.get_curriculum(args.curriculum).at_step(0),
+        batch_size=args.bs, img_size=args.img, num_steps=args.steps,
+        batch_split=args.split)
+    log(f"platform={jax.default_backend()} img={args.img} bs={args.bs} "
+        f"steps={args.steps} split={args.split}")
+
+    key = jax.random.key(0)
+    imgs = jax.random.normal(
+        jax.random.fold_in(key, 1), (args.bs, 3, args.img, args.img))
+    labels = jnp.where(
+        jax.random.normal(jax.random.fold_in(key, 2),
+                          (args.bs, meta.channel_seg, args.img, args.img))
+        > 0, 1.0, -1.0)
+
+    res = {"img": args.img, "bs": args.bs, "steps": args.steps,
+           "split": args.split, "iters": args.iters}
+    for v in args.variants.split(","):
+        m = meta
+        ablate = None
+        if v == "no_r1":
+            m = dataclasses.replace(meta, r1_lambda=0.0)
+        elif v == "split1":
+            m = dataclasses.replace(meta, batch_split=1)
+        elif v == "full":
+            # exact split-s objective, one full-batch program (the
+            # production lever — unlike split1 this is numerics-preserving)
+            m = dataclasses.replace(meta, full_batch=True)
+        elif v.startswith("no_"):
+            ablate = v[3:]
+        log(f"[{v}]")
+        state = looplib.init_train_state(jax.random.fold_in(key, 3), m)
+        ms, _ = time_step(m, state, imgs, labels, ablate, args.iters)
+        res[v + "_ms"] = round(ms, 1)
+        log(f"  {ms:.1f} ms/step = {args.bs / ms * 1000:.1f} imgs/s")
+
+    if "base_ms" in res:
+        res["imgs_per_s"] = round(args.bs / res["base_ms"] * 1000, 2)
+    path = os.path.join(REPO, "PROFILE_TRAIN.json")
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    merged[f"img{args.img}_bs{args.bs}"] = res
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -83,6 +83,77 @@ class TestTrainStep:
         np.testing.assert_allclose(
             float(looplib._topk_mean(vals, jnp.asarray(0.6))), 3.0)
 
+    def test_chunk_topk_softplus_matches_per_chunk_sum(self):
+        scores = jnp.asarray(np.random.RandomState(3).randn(8))
+        for frac in (1.0, 0.6, 0.3):
+            frac = jnp.asarray(frac)
+            chunked = float(looplib._chunk_topk_softplus(scores, frac, 2))
+            per_chunk = sum(
+                float(looplib._chunk_topk_softplus(scores[i * 4:(i + 1) * 4],
+                                                   frac, 1))
+                for i in range(2))
+            np.testing.assert_allclose(chunked, per_chunk, rtol=1e-6)
+
+    def test_full_batch_g_loss_matches_split_sum(self):
+        """full_batch computes the EXACT split-s objective: with all RNG
+        consumers disabled (perturb off, fixed cameras, no sigma noise,
+        non-hierarchical so no importance-sampling uniforms), one
+        _g_loss(n_chunks=s) call must match the sum of per-chunk
+        _g_loss(n_chunks=1) calls — values AND generator gradients."""
+        meta = tiny_meta(h_stddev=0.0, v_stddev=0.0,
+                         hierarchical_sample=False)
+        fcfg = meta.field_config()
+        rcfg = meta.render_config(perturb=False)
+        key = jax.random.key(0)
+        state = looplib.init_train_state(key, meta)
+        rng = np.random.RandomState(7)
+        zg = jnp.asarray(rng.randn(4, meta.latent_geo_dim).astype(np.float32))
+        za = jnp.asarray(rng.randn(4, meta.latent_app_dim).astype(np.float32))
+        scal = looplib.StepScalars(
+            alpha=jnp.asarray(0.7), noise_std=jnp.asarray(0.0),
+            topk_frac=jnp.asarray(0.6))  # <1 exercises per-chunk topk
+
+        def run(zg_, za_, k, n_chunks):
+            return jax.value_and_grad(looplib._g_loss, has_aux=True)(
+                state.g_params, state.d_img_params, state.d_seg_params,
+                fcfg, rcfg, meta, k, zg_, za_, scal, n_chunks)
+
+        (full_loss, _), full_grads = run(zg, za, key, 2)
+        chunk_loss, chunk_grads = 0.0, None
+        for i in range(2):
+            (l, _), g = run(zg[i * 2:(i + 1) * 2], za[i * 2:(i + 1) * 2],
+                            jax.random.fold_in(key, i), 1)
+            chunk_loss += float(l)
+            chunk_grads = g if chunk_grads is None else jax.tree.map(
+                jnp.add, chunk_grads, g)
+        np.testing.assert_allclose(float(full_loss), chunk_loss, rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(full_grads),
+                        jax.tree_util.tree_leaves(chunk_grads)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-6)
+
+    def test_full_batch_step_runs(self):
+        meta = tiny_meta(full_batch=True)
+        state = looplib.init_train_state(jax.random.key(0), meta)
+        rng = np.random.RandomState(0)
+        imgs = jnp.asarray(rng.randn(4, 3, 16, 16).astype(np.float32))
+        labels = jnp.asarray(rng.randn(4, 18, 16, 16).astype(np.float32))
+        scal = looplib.StepScalars(
+            alpha=jnp.asarray(0.5), noise_std=jnp.asarray(1.0),
+            topk_frac=jnp.asarray(0.6))
+        old = [np.asarray(x)
+               for x in jax.tree_util.tree_leaves(state.g_params)]
+        new_state, metrics = looplib.jit_train_step(meta)(
+            state, imgs, labels, jax.random.key(1), scal)
+        assert int(new_state.step) == 1
+        for k in ("d_img_loss", "d_seg_loss", "g_loss"):
+            assert np.isfinite(float(metrics[k])), k
+        diff = sum(
+            float(np.abs(a - np.asarray(b)).sum())
+            for a, b in zip(old,
+                            jax.tree_util.tree_leaves(new_state.g_params)))
+        assert diff > 0
+
 
 class TestShardedTrainStep:
     def test_8_device_mesh_step(self):
