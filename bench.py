@@ -61,7 +61,22 @@ def bench_tpu(batch: int = None, ray_chunk: int = None) -> float:
     from fenerf_tpu.models import generator as gen
     from fenerf_tpu.nn import fields
 
-    log(f"devices: {jax.devices()}")
+    # A wedged TPU tunnel blocks backend init forever; fail loudly instead so
+    # the caller gets an exit code rather than an infinite stall. Covers only
+    # device discovery — cold compiles (minutes) start after this returns.
+    import threading
+    _init_done = threading.Event()
+
+    def _watchdog():
+        if not _init_done.wait(300):
+            log("FATAL: TPU backend init did not complete in 300s "
+                "(tunnel wedged?)")
+            os._exit(17)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    devs = jax.devices()
+    _init_done.set()
+    log(f"devices: {devs}")
     fcfg = fields.get_config("TextureEmbeddingPiGAN256SEMANTICDISENTANGLE_DIM_96")
     rcfg = gen.RenderConfig(
         img_size=IMG, num_steps=STEPS, hierarchical=True,

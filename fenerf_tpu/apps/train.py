@@ -77,6 +77,12 @@ def main(argv=None):
                         "batch_size * n_devices")
     p.add_argument("--global_batch", dest="batch_per_device",
                    action="store_false")
+    p.add_argument("--full_batch", action="store_true",
+                   help="run the G phase (and D-phase fake renders) over the "
+                        "full batch in one program instead of the batch_split "
+                        "scan, keeping the exact split-structured objective "
+                        "(StageMeta.full_batch) — faster wherever the "
+                        "full-batch VJP fits HBM")
     args = p.parse_args(argv)
 
     # the ambient TPU-tunnel sitecustomize pins JAX_PLATFORMS after the
@@ -147,6 +153,8 @@ def main(argv=None):
         if args.batch_per_device and "batch_size" not in so:
             # reference semantics: curriculum batch_size is per DDP rank
             repl["batch_size"] = m.batch_size * n_dev
+        if args.full_batch:
+            repl["full_batch"] = True
         return dataclasses.replace(m, **repl) if repl else m
 
     meta = meta_at(0)
@@ -238,7 +246,8 @@ def main(argv=None):
                      if jax.default_backend() == "tpu"
                      and film_ops.supported(m.field_config()) else "xla")
             print(f"[stage] step={step} img={m.img_size} bs={m.batch_size} "
-                  f"steps/ray={m.num_steps} split={m.batch_split} "
+                  f"steps/ray={m.num_steps} split={m.batch_split}"
+                  f"{'(full_batch)' if m.full_batch else ''} "
                   f"kernel={kpath}")
             assert m.batch_size % n_dev == 0 or n_dev == 1, (
                 f"batch {m.batch_size} not divisible by {n_dev} devices")

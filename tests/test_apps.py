@@ -189,17 +189,18 @@ class TestTrainCli:
         assert os.path.exists(os.path.join(out, "generator.npz"))
         lines = open(os.path.join(out, "metrics.jsonl")).read().strip()
         assert '"g_loss"' in lines
-        # regression: interval 0 means "never", not modulo-by-zero
+        # regression: interval 0 means "never", not modulo-by-zero; also
+        # covers --full_batch (one-program G phase over batch_split=2 chunks)
         out2 = str(tmp_path / "run0")
         main(["--curriculum", "CelebA_double_semantic", "--global_batch",
               "--output_dir", out2, "--data_root", str(root),
               "--total_steps", "1", "--eval_freq", "0",
               "--sample_interval", "0", "--model_save_interval", "0",
-              "--log_every", "1",
+              "--log_every", "1", "--full_batch",
               "--field_overrides",
               json.dumps({"hidden_dim": 16, "map_hidden_dim": 16}),
               "--stage_overrides",
-              json.dumps({"batch_size": 8, "batch_split": 1, "img_size": 8,
+              json.dumps({"batch_size": 8, "batch_split": 2, "img_size": 8,
                           "num_steps": 2, "latent_geo_dim": 8,
                           "latent_app_dim": 8})])
         # completes without modulo-by-zero; the end-of-training save still

@@ -181,6 +181,32 @@ class TestShardedTrainStep:
         assert np.isfinite(float(metrics["g_loss"]))
         assert int(new_state.step) == 1
 
+    def test_8_device_mesh_step_full_batch(self):
+        """full_batch + data sharding: the one-program G phase's per-chunk
+        topk reshapes the batch-sharded score vector across device
+        boundaries — XLA must insert the collectives; step stays finite."""
+        meta = tiny_meta(batch_size=8, batch_split=2, img_size=8, num_steps=2,
+                         full_batch=True)
+        mesh = sharding.data_mesh()
+        state = sharding.replicate(
+            mesh, looplib.init_train_state(jax.random.key(0), meta))
+        rng = np.random.RandomState(0)
+        imgs, labels = sharding.shard_batch(
+            mesh,
+            rng.randn(8, 3, 8, 8).astype(np.float32),
+            rng.randn(8, 18, 8, 8).astype(np.float32),
+        )
+        scal = looplib.StepScalars(
+            alpha=jnp.asarray(1.0), noise_std=jnp.asarray(0.5),
+            topk_frac=jnp.asarray(0.6),
+        )
+        step_fn = sharding.jit_train_step_sharded(meta, mesh)
+        with mesh:
+            new_state, metrics = step_fn(state, imgs, labels,
+                                         jax.random.key(1), scal)
+        assert np.isfinite(float(metrics["g_loss"]))
+        sharding.check_replica_consistency(new_state.g_params, mesh)
+
     def test_mesh_size_invariance(self):
         """Same GLOBAL batch on 1/2/4/8-device meshes must produce the same
         updated state and metrics (SPMD math is mesh-size independent; only
