@@ -25,6 +25,7 @@ renders can use the fused kernel on TPU.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any
 
 import jax
@@ -37,6 +38,19 @@ from fenerf_tpu.ops import film_mlp as fwdmod
 from fenerf_tpu.ops.fast_math import _poly_sin, _reduce
 
 DEFAULT_TILE = 256
+
+# Transpose-elimination A/B knobs (scripts/profile_bwd_variants.py). The
+# baseline kernel body executes TWO in-kernel transposes per linear layer per
+# grid step — wrefs[wi][...].T for dy@W^T and xin.T for the dW accumulation —
+# i.e. ~20 (256,256) VPU relayouts per tile, a candidate for the measured
+# 5.5 Mpts/s (vs ~16 expected from the 3x-forward FLOP ratio).
+#   FENERF_BWD_WT=1    feed pre-transposed bf16 weights as extra constant
+#                      VMEM blocks (+~1.5MB) so dy@W^T is a plain MXU dot
+#   FENERF_BWD_ACC0=1  accumulate dW with dot_general contracting axis 0
+#                      (points) directly instead of materializing xin.T
+# Numerics are bit-identical either way (same operands, same dtypes).
+BWD_WT = os.environ.get("FENERF_BWD_WT", "0") == "1"
+BWD_ACC0 = os.environ.get("FENERF_BWD_ACC0", "0") == "1"
 
 
 def _fsin(v):
@@ -68,8 +82,12 @@ def film_mlp_bwd(
     g_out: jax.Array,      # (B, N, out_dim) cotangent
     tile: int = DEFAULT_TILE,
     mm_dtype=jnp.bfloat16,
+    wt_inputs: bool | None = None,
+    acc_dot0: bool | None = None,
 ):
     """-> ([(dw, db)] per layer, dpoints, ddirs, dgf, dfg, dpg, dfa, dpa)."""
+    wt = BWD_WT if wt_inputs is None else wt_inputs
+    acc0 = BWD_ACC0 if acc_dot0 is None else acc_dot0
     b, n, _ = points.shape
     h = cfg.hidden_dim
     lg, lc = cfg.trunk_layers, cfg.color_layers
@@ -102,13 +120,16 @@ def film_mlp_bwd(
 
     weights = [w.astype(mm_dtype) for w, _ in layers]
     biases = [bb.astype(jnp.float32)[None, :] for _, bb in layers]
+    # pre-transposed weights computed ONCE outside the kernel (XLA transpose,
+    # fused into the weight cast) vs a per-grid-step in-kernel relayout
+    weights_t = [w.T for w in weights] if wt else []
 
     inputs = [points.reshape(b * n_pad, 3), ray_dirs.reshape(b * n_pad, 3)]
     if g:
         inputs.append(grid_feats.reshape(b * n_pad, g))
     inputs.append(g_out.reshape(b * n_pad, out_dim))
     inputs += [fgt, pgt, fat, pat]
-    inputs += weights + biases
+    inputs += weights + biases + weights_t
 
     def kernel(*refs):
         i = 0
@@ -121,6 +142,9 @@ def film_mlp_bwd(
         fg_ref, pg_ref, fa_ref, pa_ref = refs[i:i + 4]; i += 4
         wrefs = refs[i:i + n_lin]; i += n_lin
         brefs = refs[i:i + n_lin]; i += n_lin
+        wt_refs = None
+        if wt:
+            wt_refs = refs[i:i + n_lin]; i += n_lin
         dw_refs = refs[i:i + n_lin]; i += n_lin
         db_refs = refs[i:i + n_lin]; i += n_lin
         dfg_ref, dpg_ref, dfa_ref, dpa_ref = refs[i:i + 4]; i += 4
@@ -145,13 +169,22 @@ def film_mlp_bwd(
                            preferred_element_type=jnp.float32)
 
         def mm_t(a, wi):
+            if wt:
+                return jnp.dot(a.astype(mm_dtype), wt_refs[wi][...],
+                               preferred_element_type=jnp.float32)
             return jnp.dot(a.astype(mm_dtype), wrefs[wi][...].T,
                            preferred_element_type=jnp.float32)
 
         def acc_lin(wi, xin, dy):
-            dw_refs[wi][...] += jnp.dot(
-                xin.astype(mm_dtype).T, dy.astype(mm_dtype),
-                preferred_element_type=jnp.float32)
+            if acc0:
+                dw_refs[wi][...] += jax.lax.dot_general(
+                    xin.astype(mm_dtype), dy.astype(mm_dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                dw_refs[wi][...] += jnp.dot(
+                    xin.astype(mm_dtype).T, dy.astype(mm_dtype),
+                    preferred_element_type=jnp.float32)
             db_refs[wi][...] += dy.sum(axis=0)[None, :]
 
         # ------------- forward recompute (stash pre-sine y per layer) ------
@@ -267,6 +300,7 @@ def film_mlp_bwd(
                  filmspec(lc)]
     in_specs += [const_spec(w.shape) for w in weights]
     in_specs += [const_spec(bb.shape) for bb in biases]
+    in_specs += [const_spec(w.shape) for w in weights_t]
 
     out_shapes = (
         [jax.ShapeDtypeStruct((i_, o_), jnp.float32)
