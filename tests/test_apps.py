@@ -272,3 +272,53 @@ class TestResume:
                  open(os.path.join(out, "metrics.jsonl"))]
         steps = [l["step"] for l in lines]
         assert 2 in steps and 3 in steps  # resumed past the saved step
+
+
+class TestServe:
+    def test_render_server_endpoints(self, tiny_ckpt):
+        """Persistent render server (apps/serve.py): one warmed program
+        answers /render for rgb+seg, /meta, /healthz; bad queries are 400
+        without killing the server."""
+        import threading
+        import urllib.request
+        import urllib.error
+
+        from fenerf_tpu.apps.serve import build_renderer, make_server
+
+        render_np, meta = build_renderer(
+            tiny_ckpt, image_size=16, num_steps=2, ray_step_multiplier=1,
+            fov=12.0, fill_mode="seg_padding_background", fill_color="black",
+            ray_chunk=0, use_ema=True)
+        assert meta["step"] == 123 and meta["n_labels"] > 0
+        srv = make_server(render_np, meta, port=0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        try:
+            def get(path):
+                return urllib.request.urlopen(base + path, timeout=120)
+
+            assert json.loads(get("/healthz").read())["ok"] is True
+            m = json.loads(get("/meta").read())
+            assert m["image_size"] == 16
+            for kind in ("rgb", "seg", "depth"):
+                try:
+                    r = get(f"/render?seed=3&yaw=0.2&psi=0.5&kind={kind}")
+                except urllib.error.HTTPError as e:
+                    if kind == "depth" and e.code == 400:
+                        continue  # cv2 absent -> 400, server stays alive
+                    raise
+                body = r.read()
+                assert body[:8] == b"\x89PNG\r\n\x1a\n", kind
+                assert float(r.headers["X-Render-Ms"]) > 0
+            # same seed+pose renders identically (pure function of inputs)
+            a = get("/render?seed=3&yaw=0.2").read()
+            b = get("/render?seed=3&yaw=0.2").read()
+            assert a == b
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                get("/render?seed=notanint")
+            assert ei.value.code == 400
+            assert json.loads(get("/healthz").read())["ok"] is True
+        finally:
+            srv.shutdown()
+            srv.server_close()
