@@ -185,3 +185,35 @@ class TestGridTraining:
             assert changed, f"{part} did not update"
         assert np.isfinite(float(metrics["g_loss"]))
         assert np.isfinite(float(metrics["d_img_loss"]))
+
+
+class TestGridServe:
+    def test_render_server_grid_family(self, tiny_grid_ckpt):
+        """apps/serve.py grid branch: RGB-only model -> /render rgb works
+        (kind=seg degrades to rgb since n_labels=0); psi accepted-but-ignored."""
+        import json as jsonlib
+        import threading
+        import urllib.request
+        import urllib.error
+
+        from fenerf_tpu.apps.serve import build_renderer, make_server
+
+        render_np, meta = build_renderer(
+            tiny_grid_ckpt, image_size=16, num_steps=2,
+            ray_step_multiplier=1, fov=12.0,
+            fill_mode="seg_padding_background", fill_color="black",
+            ray_chunk=0, use_ema=True)
+        assert meta["family"] == "grid" and meta["n_labels"] == 0
+        srv = make_server(render_np, meta, port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        try:
+            r = urllib.request.urlopen(
+                base + "/render?seed=1&yaw=0.3&psi=0.2", timeout=120)
+            assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
+            m = jsonlib.loads(urllib.request.urlopen(
+                base + "/meta", timeout=10).read())
+            assert m["family"] == "grid"
+        finally:
+            srv.shutdown()
+            srv.server_close()
