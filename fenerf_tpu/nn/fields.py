@@ -136,14 +136,15 @@ VARIANTS: dict[str, FieldConfig] = {
     ),
     "TextureEmbeddingPiGAN128SEMANTICDISENTANGLE_WO_DIR": _cfg(
         name="TextureEmbeddingPiGAN128SEMANTICDISENTANGLE_WO_DIR",
-        hidden_dim=128, label_hidden_layers=2, grid_channels=32,
-        grid_resolution=96, grid_init_scale=0.01, first_layer_init="modified",
-        use_ray_dir=False,
+        hidden_dim=128, color_layers=8, label_hidden_layers=2,
+        grid_channels=32, grid_resolution=96, grid_init_scale=0.01,
+        first_layer_init="modified", use_ray_dir=False,
     ),
     "TextureEmbeddingPiGAN256SEMANTICDISENTANGLE_WO_DIR_DIM_96": _cfg(
         name="TextureEmbeddingPiGAN256SEMANTICDISENTANGLE_WO_DIR_DIM_96",
-        label_hidden_layers=2, grid_channels=32, grid_resolution=96,
-        grid_init_scale=0.1, first_layer_init="modified", use_ray_dir=False,
+        color_layers=8, label_hidden_layers=2, grid_channels=32,
+        grid_resolution=96, grid_init_scale=0.1,
+        first_layer_init="modified", use_ray_dir=False,
     ),
     "EmbeddingPiGAN128SEMANTICDISENTANGLE": _cfg(
         name="EmbeddingPiGAN128SEMANTICDISENTANGLE",

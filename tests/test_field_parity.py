@@ -56,6 +56,37 @@ def _parity_case(ref_cls, cfg, tol=2e-4, n=33, zdims=(8, 8)):
     np.testing.assert_allclose(np.asarray(ours), ref_out, atol=tol, rtol=1e-3)
 
 
+def _texture_256_case(ref_cls, cfg, tol=1e-3, n=9):
+    """Parity for the hidden-256-hardcoded subclasses (hidden_dim is not an
+    accepted override there — the subclass __init__ passes it explicitly)."""
+    torch.manual_seed(0)
+    if cfg.single_latent:
+        m = ref_cls(input_dim=3, z_dim=cfg.z_geo_dim, output_dim=cfg.output_dim)
+    else:
+        m = ref_cls(z_geo_dim=cfg.z_geo_dim, z_app_dim=cfg.z_app_dim,
+                    output_dim=cfg.output_dim)
+    m.eval()
+    rng = np.random.RandomState(1)
+    pts = rng.randn(1, n, 3).astype(np.float32) * 0.1
+    dirs = rng.randn(1, n, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    zg = rng.randn(1, cfg.z_geo_dim).astype(np.float32)
+    za = rng.randn(1, cfg.z_app_dim).astype(np.float32)
+    with torch.no_grad():
+        if cfg.single_latent:
+            ref_out = m(torch.tensor(pts), torch.tensor(zg),
+                        ray_directions=torch.tensor(dirs)).numpy()
+        else:
+            ref_out = m(torch.tensor(pts), torch.tensor(zg), torch.tensor(za),
+                        ray_directions=torch.tensor(dirs)).numpy()
+    params = field_from_torch(m.state_dict(), cfg)
+    fg, fa = fields.field_film(params, cfg, jnp.asarray(zg), jnp.asarray(za))
+    ours = fields.apply_field(
+        params, cfg, jnp.asarray(pts), jnp.asarray(dirs), fg, fa
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=tol, rtol=1e-3)
+
+
 class TestFieldParity:
     def test_siren_baseline_semantic_disentangle(self):
         cfg = fields.get_config(
@@ -158,6 +189,68 @@ class TestFieldParity:
         cfg = fields.get_config("SPATIALSIRENBASELINE", z_geo_dim=16,
                                 z_app_dim=16, hidden_dim=32)
         _parity_case(ref_siren.SPATIALSIRENBASELINE, cfg)
+
+    def test_siren_baseline_semantic_disentangle_debug(self):
+        # the _debug clone adds sigmoid on the label head (siren.py:1293)
+        cfg = fields.get_config(
+            "SIRENBASELINESEMANTICDISENTANGLE_debug",
+            hidden_dim=32, z_geo_dim=8, z_app_dim=8,
+        )
+        _parity_case(ref_siren.SIRENBASELINESEMANTICDISENTANGLE_debug, cfg)
+
+    def test_texture_embedding_128(self):
+        # color-branch grid, hidden_dim overridable on the 128 base class
+        # (siren.py:1451-1530); grid stays (1,32,96,96,96)*0.01 regardless
+        cfg = fields.get_config(
+            "TextureEmbeddingPiGAN128SEMANTICDISENTANGLE",
+            hidden_dim=32, z_geo_dim=8, z_app_dim=8,
+        )
+        _parity_case(
+            ref_siren.TextureEmbeddingPiGAN128SEMANTICDISENTANGLE, cfg,
+            tol=5e-4, n=9,
+        )
+
+    def test_texture_embedding_128_wo_dir(self):
+        # no-view-direction sibling: color input = [grid_feats, x]
+        # (siren.py:1549-1641); ray_directions accepted but unused
+        cfg = fields.get_config(
+            "TextureEmbeddingPiGAN128SEMANTICDISENTANGLE_WO_DIR",
+            hidden_dim=32, z_geo_dim=8, z_app_dim=8,
+        )
+        _parity_case(
+            ref_siren.TextureEmbeddingPiGAN128SEMANTICDISENTANGLE_WO_DIR,
+            cfg, tol=5e-4, n=9,
+        )
+
+    def test_texture_embedding_256(self):
+        # subclass hardcodes hidden 256 + (1,32,64,64,64)*0.1 grid
+        # (siren.py:1533-1538)
+        cfg = fields.get_config(
+            "TextureEmbeddingPiGAN256SEMANTICDISENTANGLE",
+            z_geo_dim=8, z_app_dim=8,
+        )
+        _texture_256_case(
+            ref_siren.TextureEmbeddingPiGAN256SEMANTICDISENTANGLE, cfg
+        )
+
+    def test_texture_embedding_256_wo_dir_dim96(self):
+        # second no-dir sibling: hidden 256, (1,32,96,96,96)*0.1 grid
+        # (siren.py:1817-1822)
+        cfg = fields.get_config(
+            "TextureEmbeddingPiGAN256SEMANTICDISENTANGLE_WO_DIR_DIM_96",
+            z_geo_dim=8, z_app_dim=8,
+        )
+        _texture_256_case(
+            ref_siren.TextureEmbeddingPiGAN256SEMANTICDISENTANGLE_WO_DIR_DIM_96,
+            cfg,
+        )
+
+    def test_embedding_pigan256_rgb(self):
+        # trunk-grid RGB variant: hidden 256 forced, (1,32,64,64,64)*0.1
+        # (siren.py:407-410); single-latent signature
+        cfg = fields.get_config("EmbeddingPiGAN256", z_geo_dim=16,
+                                z_app_dim=16)
+        _texture_256_case(ref_siren.EmbeddingPiGAN256, cfg)
 
 
 class TestFieldInit:
