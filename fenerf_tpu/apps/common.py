@@ -82,9 +82,8 @@ def best_backend(cfg, train: bool = False) -> str:
         return "xla"
     if not isinstance(cfg, fields.FieldConfig):
         return "pallas"   # grid family: XLA field, Pallas ray machinery
-    if train:
-        return "pallas_train" if film_mlp.supported_train(cfg) else "xla"
-    return "pallas" if film_mlp.supported(cfg) else "xla"
+    # film family: the one policy function (ops/film_mlp.backend_for)
+    return film_mlp.backend_for(cfg, train=train)
 
 
 def camera_trajectory(name: str, num_frames: int, base_fov: float):

@@ -178,8 +178,11 @@ def make_server(render_np, meta, port: int = 8798, host: str = "127.0.0.1"):
                     elif kind == "depth":
                         img = depth_to_jet(depth)
                     else:
+                        # fixed [-1,1]->[0,255] mapping (same as render_video):
+                        # per-frame min-max would make brightness depend on
+                        # frame content and flicker across requests
                         img = to_uint8(pix[None, -3:],
-                                       normalize=True)[0].transpose(1, 2, 0)
+                                       normalize=False)[0].transpose(1, 2, 0)
                     body = _encode_png(np.ascontiguousarray(img))
                     ms = (time.perf_counter() - t0) * 1e3
                     self.send_response(200)

@@ -20,7 +20,7 @@ import os
 import time
 
 
-def _host_barrier(name: str, timeout_ms: int = 1_200_000) -> None:
+def _host_barrier(name: str, timeout_ms: int | None = None) -> None:
     """Cross-host rendezvous over the coordination service (pure gRPC).
 
     Deliberately NOT a device collective: gloo (the CPU collectives
@@ -28,9 +28,16 @@ def _host_barrier(name: str, timeout_ms: int = 1_200_000) -> None:
     window, so a psum-style barrier would itself be subject to the very
     compile-skew race it is meant to close. The coordination-service
     barrier has an explicit long deadline and compiles nothing.
+
+    The default 20min deadline covers every compile observed on this stack;
+    cold caches on big stages can exceed it — raise via
+    FENERF_BARRIER_TIMEOUT_MS rather than letting the fleet die at a fence.
     """
     from jax._src import distributed
 
+    if timeout_ms is None:
+        timeout_ms = int(os.environ.get("FENERF_BARRIER_TIMEOUT_MS",
+                                        1_200_000))
     client = distributed.global_state.client
     if client is not None:
         client.wait_at_barrier(name, timeout_ms)
@@ -240,11 +247,12 @@ def main(argv=None):
         if stage_meta is None or m != stage_meta:
             stage_meta = m
             # log which field-kernel path serves this stage (fused Pallas vs
-            # XLA fallback) so a config that supported() declines is visible
+            # XLA fallback) so a config the policy declines is visible;
+            # same policy function the step itself dispatches through
             from fenerf_tpu.ops import film_mlp as film_ops
-            kpath = ("pallas_train(G)+pallas(D)"
-                     if jax.default_backend() == "tpu"
-                     and film_ops.supported(m.field_config()) else "xla")
+            fc = m.field_config()
+            kpath = (f"{film_ops.backend_for(fc, train=True)}(G)"
+                     f"+{film_ops.backend_for(fc)}(D)")
             print(f"[stage] step={step} img={m.img_size} bs={m.batch_size} "
                   f"steps/ray={m.num_steps} split={m.batch_split}"
                   f"{'(full_batch)' if m.full_batch else ''} "

@@ -64,6 +64,19 @@ def supported_train(cfg: FieldConfig) -> bool:
     )
 
 
+def backend_for(cfg: Any, train: bool = False) -> str:
+    """THE film-family kernel-dispatch policy (single source — the trainer,
+    the stage log, and the inference CLIs all route through here): fused
+    Pallas kernels when the host's default backend is TPU and the variant
+    is covered, else the XLA path. train=True selects the fused-VJP kernel
+    set (ops/film_mlp_grad.py), which covers fewer variants than forward."""
+    if jax.default_backend() != "tpu" or not isinstance(cfg, FieldConfig):
+        return "xla"
+    if train:
+        return "pallas_train" if supported_train(cfg) else "xla"
+    return "pallas" if supported(cfg) else "xla"
+
+
 def _fold_heads(cfg: FieldConfig) -> bool:
     """Inference-kernel head packing: the reference label head is a chain of
     linears with NO activation between them (siren/siren.py:1195-1197

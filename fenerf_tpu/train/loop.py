@@ -137,8 +137,9 @@ def _render_fakes(g_params, fcfg, rcfg, meta, key, z_geo, z_app, noise_std):
     differentiable XLA path)."""
     from fenerf_tpu.ops import film_mlp as film_ops
 
-    if jax.default_backend() == "tpu" and film_ops.supported(fcfg):
-        rcfg = rcfg.replace(backend="pallas")
+    bk = film_ops.backend_for(fcfg)
+    if bk != "xla":
+        rcfg = rcfg.replace(backend=bk)
     b = z_geo.shape[0]
     s = 1 if meta.full_batch else meta.batch_split
     assert b % s == 0, f"batch {b} not divisible by batch_split {s}"
@@ -194,15 +195,6 @@ def _d_loss(
         + r1 + identity
     )
     return loss
-
-
-def _topk_mean(values_by_score_desc, frac):
-    """Mean of the first ceil(frac*B) entries (scores pre-sorted descending);
-    reference topk filtering, train...py:420-424."""
-    b = values_by_score_desc.shape[0]
-    k = jnp.ceil(frac * b).astype(jnp.int32)
-    mask = (jnp.arange(b) < k).astype(values_by_score_desc.dtype)
-    return jnp.sum(values_by_score_desc * mask) / k
 
 
 def _chunk_topk_softplus(scores, frac, n_chunks):
@@ -295,8 +287,9 @@ def train_step(
     # redundant on this path.
     from fenerf_tpu.ops import film_mlp as _film_ops
 
-    if jax.default_backend() == "tpu" and _film_ops.supported_train(fcfg):
-        g_rcfg = rcfg.replace(backend="pallas_train", remat=False)
+    g_bk = _film_ops.backend_for(fcfg, train=True)
+    if g_bk != "xla":
+        g_rcfg = rcfg.replace(backend=g_bk, remat=False)
     else:
         g_rcfg = rcfg
 

@@ -29,6 +29,13 @@ def to_local_np(x: Any) -> np.ndarray:
     Callers must only pass replicated or single-device arrays.
     """
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        # shard 0 only equals the global value if the array is replicated;
+        # silently saving one shard of a sharded leaf would corrupt resumes
+        assert x.sharding.is_fully_replicated, (
+            f"to_local_np got a non-replicated global array "
+            f"(sharding={x.sharding}); gather it (or re-shard replicated) "
+            f"before checkpointing/logging"
+        )
         return np.asarray(x.addressable_shards[0].data)
     return np.asarray(x)
 

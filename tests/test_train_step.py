@@ -73,15 +73,22 @@ class TestTrainStep:
         # EMA moved toward params
         assert int(new_state.ema.num_updates) == 1
 
-    def test_topk_mean(self):
-        vals = jnp.asarray([4.0, 3.0, 2.0, 1.0])
+    def test_chunk_topk_softplus_golden(self):
+        """The shipped topk helper against hand-computed values: keep the
+        ceil(frac*B) best-SCORED fakes, average softplus(-score) over them
+        (reference train...py:420-424)."""
+        scores = jnp.asarray([1.0, 4.0, 2.0, 3.0])  # unsorted on purpose
+        sp = np.logaddexp(0.0, -np.asarray([4.0, 3.0, 2.0, 1.0]))
         np.testing.assert_allclose(
-            float(looplib._topk_mean(vals, jnp.asarray(0.5))), 3.5)
+            float(looplib._chunk_topk_softplus(scores, jnp.asarray(0.5), 1)),
+            sp[:2].mean(), rtol=1e-6)
         np.testing.assert_allclose(
-            float(looplib._topk_mean(vals, jnp.asarray(1.0))), 2.5)
+            float(looplib._chunk_topk_softplus(scores, jnp.asarray(1.0), 1)),
+            sp.mean(), rtol=1e-6)
         # ceil(0.6*4)=3
         np.testing.assert_allclose(
-            float(looplib._topk_mean(vals, jnp.asarray(0.6))), 3.0)
+            float(looplib._chunk_topk_softplus(scores, jnp.asarray(0.6), 1)),
+            sp[:3].mean(), rtol=1e-6)
 
     def test_chunk_topk_softplus_matches_per_chunk_sum(self):
         scores = jnp.asarray(np.random.RandomState(3).randn(8))
