@@ -15,6 +15,13 @@ and re-times the FULL step at a stage-of-record config.
              time; legit config, numerics-breaking for the GAN)
   split1     batch_split=1 (one full-batch G render instead of the scan over
              microbatches; changes G loss scale — perf reading only)
+  full       full_batch=True (exact split-s objective in one program — the
+             production lever; numerics-preserving)
+  flat       hierarchical_sample=False with num_steps DOUBLED (same total
+             samples per ray, no proposal/sample_pdf/merge and none of their
+             backward) — bounds the hierarchical machinery's fwd+bwd share
+             of the training step (the inference-side bound is 4.9%,
+             PROFILE_RAYK.json; the backward share was never measured)
 
 Usage: python scripts/profile_train.py [--img 32] [--bs 24] [--steps 24]
           [--split 4] [--iters 6] [--variants base,no_g,...]
@@ -43,7 +50,7 @@ from fenerf_tpu.train import curriculum as curlib
 from fenerf_tpu.train import loop as looplib
 
 ALL_VARIANTS = ("base", "no_dimg", "no_dseg", "no_g", "no_dfakes", "no_r1",
-                "split1", "full")
+                "split1", "full", "flat")
 
 
 def log(*a):
@@ -114,6 +121,9 @@ def main():
             # exact split-s objective, one full-batch program (the
             # production lever — unlike split1 this is numerics-preserving)
             m = dataclasses.replace(meta, full_batch=True)
+        elif v == "flat":
+            m = dataclasses.replace(meta, hierarchical_sample=False,
+                                    num_steps=2 * args.steps)
         elif v.startswith("no_"):
             ablate = v[3:]
         log(f"[{v}]")
