@@ -24,6 +24,35 @@ class Integrated(NamedTuple):
     weights_sum: jax.Array  # (..., R) total opacity
 
 
+def _act_sigma(sigmas: jax.Array, clamp_mode: str) -> jax.Array:
+    """Density activation (reference fancy_integration clamp_mode :30-35)."""
+    if clamp_mode == "softplus":
+        return jax.nn.softplus(sigmas)
+    if clamp_mode == "relu":
+        return jax.nn.relu(sigmas)
+    raise ValueError(f"unknown clamp_mode {clamp_mode!r}")
+
+
+def _composite_weights(
+    sigmas: jax.Array,   # (..., S) noise already added
+    z_vals: jax.Array,   # (..., S) sorted along -1
+    clamp_mode: str,
+) -> jax.Array:
+    """THE compositing epilogue (one copy — integrate / integrate_weights /
+    composite_merged all call it): terminal-1e10 deltas,
+    alpha = 1 - exp(-delta * act(sigma)), exclusive transmittance cumprod of
+    (1 - alpha + 1e-10), weights = alpha * T. XLA inlines + fuses this
+    wherever it lands, so sharing costs nothing."""
+    deltas = z_vals[..., 1:] - z_vals[..., :-1]
+    deltas = jnp.concatenate(
+        [deltas, jnp.full_like(deltas[..., :1], 1e10)], axis=-1)
+    alphas = 1.0 - jnp.exp(-deltas * _act_sigma(sigmas, clamp_mode))
+    trans = jnp.cumprod(1.0 - alphas + 1e-10, axis=-1)
+    trans = jnp.concatenate(
+        [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
+    return alphas * trans
+
+
 def integrate(
     rgb_sigma: jax.Array,  # (..., R, S, C+1), last channel = sigma
     z_vals: jax.Array,     # (..., R, S)
@@ -48,28 +77,12 @@ def integrate(
     channels = rgb_sigma[..., :-1]
     sigmas = rgb_sigma[..., -1]
 
-    deltas = z_vals[..., 1:] - z_vals[..., :-1]
-    deltas = jnp.concatenate(
-        [deltas, jnp.full_like(deltas[..., :1], 1e10)], axis=-1
-    )
-
     if noise is not None:
         sigmas = sigmas + noise * noise_std
     elif key is not None:
         sigmas = sigmas + jax.random.normal(key, sigmas.shape) * noise_std
 
-    if clamp_mode == "softplus":
-        act = jax.nn.softplus(sigmas)
-    elif clamp_mode == "relu":
-        act = jax.nn.relu(sigmas)
-    else:
-        raise ValueError(f"unknown clamp_mode {clamp_mode!r}")
-
-    alphas = 1.0 - jnp.exp(-deltas * act)
-    # T_i = prod_{j<i} (1 - alpha_j + 1e-10)
-    trans = jnp.cumprod(1.0 - alphas + 1e-10, axis=-1)
-    trans = jnp.concatenate([jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
-    weights = alphas * trans
+    weights = _composite_weights(sigmas, z_vals, clamp_mode)
     weights_sum = weights.sum(axis=-1)
 
     if last_back:
@@ -97,22 +110,9 @@ def integrate_weights(
     these (generators.py:483-502 discards everything else), so skip the
     channel contraction and depth sum of the full integrate(). Numerically
     identical to integrate(...).weights."""
-    deltas = z_vals[..., 1:] - z_vals[..., :-1]
-    deltas = jnp.concatenate(
-        [deltas, jnp.full_like(deltas[..., :1], 1e10)], axis=-1)
     if noise is not None:
         sigmas = sigmas + noise * noise_std
-    if clamp_mode == "softplus":
-        act = jax.nn.softplus(sigmas)
-    elif clamp_mode == "relu":
-        act = jax.nn.relu(sigmas)
-    else:
-        raise ValueError(f"unknown clamp_mode {clamp_mode!r}")
-    alphas = 1.0 - jnp.exp(-deltas * act)
-    trans = jnp.cumprod(1.0 - alphas + 1e-10, axis=-1)
-    trans = jnp.concatenate(
-        [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
-    return alphas * trans
+    return _composite_weights(sigmas, z_vals, clamp_mode)
 
 
 _FILL_VALUES = {"white": 1.0, "black": 0.0, "grey": 0.5, "light_grey": 0.81}
@@ -233,6 +233,35 @@ def sample_pdf(
     return bins_below + (u - cdf_below) / denom * (bins_above - bins_below)
 
 
+def _stable_ranks(
+    fine_z: jax.Array,    # (..., S_f) arbitrary order
+    coarse_z: jax.Array,  # (..., S_c) SORTED along -1
+) -> tuple[jax.Array, jax.Array]:
+    """Stable sorted ranks of the concat [fine, coarse] (the tie rule of
+    merge_sorted: fine-before-coarse on equal z, index-stable within a
+    list; coarse's within-list rank is just its index since it's sorted).
+    ONE copy of this subtle rule — merge_fine_coarse and composite_merged
+    share it; _before_mask is its masked-matrix equivalent over a single
+    concatenated list (equality asserted in tests)."""
+    sf = fine_z.shape[-1]
+    f_i = fine_z[..., :, None]       # (..., S_f, 1)
+    c_j = coarse_z[..., None, :]     # (..., 1, S_c)
+    # fine_i's rank: within-fine stable rank + #(coarse < fine_i)
+    # (ties between lists go to fine — it precedes coarse in the concat)
+    cross_f = (c_j < f_i).astype(jnp.int32).sum(-1)
+    fj = fine_z[..., None, :]
+    lower = (fj < f_i).astype(jnp.int32)
+    j_lt_i = (jax.lax.broadcasted_iota(jnp.int32, (sf, sf), 1)
+              < jax.lax.broadcasted_iota(jnp.int32, (sf, sf), 0))
+    ties = ((fj == f_i) & j_lt_i).astype(jnp.int32)
+    rank_f = (lower + ties).sum(-1) + cross_f
+    # coarse_j's rank: its index (sorted list) + #(fine <= coarse_j)
+    cross_c = (f_i <= c_j).astype(jnp.int32).sum(-2)
+    rank_c = jax.lax.broadcasted_iota(
+        jnp.int32, coarse_z.shape, coarse_z.ndim - 1) + cross_c
+    return rank_f, rank_c
+
+
 def merge_fine_coarse(
     fine_out: jax.Array,    # (..., R, S_f, C)
     coarse_out: jax.Array,  # (..., R, S_c, C) — coarse_z SORTED along -1
@@ -249,21 +278,7 @@ def merge_fine_coarse(
     """
     sf, sc = fine_z.shape[-1], coarse_z.shape[-1]
     s = sf + sc
-    f_i = fine_z[..., :, None]       # (..., S_f, 1)
-    c_j = coarse_z[..., None, :]     # (..., 1, S_c)
-    # fine_i's rank: within-fine stable rank + #(coarse < fine_i)
-    # (ties between lists go to fine — it precedes coarse in the concat)
-    cross_f = (c_j < f_i).astype(jnp.int32).sum(-1)
-    fj = fine_z[..., None, :]
-    lower = (fj < f_i).astype(jnp.int32)
-    j_lt_i = (jax.lax.broadcasted_iota(jnp.int32, (sf, sf), 1)
-              < jax.lax.broadcasted_iota(jnp.int32, (sf, sf), 0))
-    ties = ((fj == f_i) & j_lt_i).astype(jnp.int32)
-    rank_f = (lower + ties).sum(-1) + cross_f
-    # coarse_j's rank: its index (sorted list) + #(fine <= coarse_j)
-    cross_c = (f_i <= c_j).astype(jnp.int32).sum(-2)
-    rank_c = jax.lax.broadcasted_iota(
-        jnp.int32, coarse_z.shape, coarse_z.ndim - 1) + cross_c
+    rank_f, rank_c = _stable_ranks(fine_z, coarse_z)
 
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
     oh_f = (rank_f[..., :, None] == iota_s)
@@ -299,25 +314,11 @@ def composite_merged(
     flagship render (PROFILE_HIER.json; merge permutation = 15.6% of the
     whole render when applied to channels, ~nothing when applied to two
     scalar vectors)."""
-    sf, sc = fine_z.shape[-1], coarse_z.shape[-1]
-    s = sf + sc
+    s = fine_z.shape[-1] + coarse_z.shape[-1]
     all_z = jnp.concatenate([fine_z, coarse_z], axis=-1)
     all_out = jnp.concatenate([fine_out, coarse_out], axis=-2)
 
-    # stable ranks of the concat [fine, coarse] (same tie rules as
-    # merge_sorted; coarse's within-list stable rank is its index)
-    f_i = fine_z[..., :, None]
-    c_j = coarse_z[..., None, :]
-    cross_f = (c_j < f_i).astype(jnp.int32).sum(-1)
-    fj = fine_z[..., None, :]
-    lower = (fj < f_i).astype(jnp.int32)
-    j_lt_i = (jax.lax.broadcasted_iota(jnp.int32, (sf, sf), 1)
-              < jax.lax.broadcasted_iota(jnp.int32, (sf, sf), 0))
-    ties = ((fj == f_i) & j_lt_i).astype(jnp.int32)
-    rank_f = (lower + ties).sum(-1) + cross_f
-    cross_c = (f_i <= c_j).astype(jnp.int32).sum(-2)
-    rank_c = jax.lax.broadcasted_iota(
-        jnp.int32, coarse_z.shape, coarse_z.ndim - 1) + cross_c
+    rank_f, rank_c = _stable_ranks(fine_z, coarse_z)
     rank = jnp.concatenate([rank_f, rank_c], axis=-1)      # (..., S)
 
     # P[r, i] = 1 where rank_i == r; applied to SCALAR vectors only
@@ -328,22 +329,9 @@ def composite_merged(
     z_sorted = sort_v(all_z)
     sigma_sorted = sort_v(all_out[..., -1])
 
-    deltas = z_sorted[..., 1:] - z_sorted[..., :-1]
-    deltas = jnp.concatenate(
-        [deltas, jnp.full_like(deltas[..., :1], 1e10)], axis=-1)
     if noise is not None:
         sigma_sorted = sigma_sorted + noise * noise_std
-    if clamp_mode == "softplus":
-        act = jax.nn.softplus(sigma_sorted)
-    elif clamp_mode == "relu":
-        act = jax.nn.relu(sigma_sorted)
-    else:
-        raise ValueError(f"unknown clamp_mode {clamp_mode!r}")
-    alphas = 1.0 - jnp.exp(-deltas * act)
-    trans = jnp.cumprod(1.0 - alphas + 1e-10, axis=-1)
-    trans = jnp.concatenate(
-        [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
-    w_sorted = alphas * trans
+    w_sorted = _composite_weights(sigma_sorted, z_sorted, clamp_mode)
     weights_sum = w_sorted.sum(axis=-1)
     if last_back:
         w_sorted = w_sorted.at[..., -1].add(1.0 - weights_sum)
@@ -421,12 +409,9 @@ def composite_merged_nosort(
     if noise is not None:
         # noise is indexed by sorted position: sample i draws noise[rank_i]
         sigma = sigma + _pick_rows(rank, noise) * noise_std
-    if clamp_mode == "softplus":
-        act = jax.nn.softplus(sigma)
-    elif clamp_mode == "relu":
-        act = jax.nn.relu(sigma)
-    else:
-        raise ValueError(f"unknown clamp_mode {clamp_mode!r}")
+    # deltas/transmittance are masked forms here (order-independent), so
+    # only the activation is shared with the sorted epilogue
+    act = _act_sigma(sigma, clamp_mode)
 
     # delta_i = next z in sorted order - z_i: the sample j with
     # rank_j == rank_i + 1 (a rank match, NOT a positional pick — all_z is

@@ -123,8 +123,10 @@ def draw_ray_noise(k_coarse, k_pdf, k_final, batch: int, n_rays: int,
                    noise_std: float | jax.Array = 1.0) -> RayNoise:
     # statically-zero noise_std (every inference CLI): skip the sigma-noise
     # draws entirely — sigma + 0*n is exact, and the dead (B, R, S) RNG
-    # tensors cost ~29ms of the batch-64 flagship render (ROADMAP 2a)
-    dead = isinstance(noise_std, (int, float)) and noise_std == 0.0
+    # tensors cost ~29ms of the batch-64 flagship render (ROADMAP 2a).
+    # Any non-traced scalar counts as static (np.float32(0) from a JSON/
+    # checkpoint config layer must not silently re-pay the dead-RNG cost).
+    dead = not isinstance(noise_std, jax.Array) and float(noise_std) == 0.0
     s = rcfg.num_steps
     if rcfg.hierarchical:
         return RayNoise(

@@ -173,10 +173,9 @@ def film_mlp(
     weights = _pack(params, cfg)
     n_label_lin = (cfg.label_hidden_layers + 1) if cfg.n_labels else 0
     out_dim = cfg.output_dim
-    # blocks whose last dim EQUALS the full array dim are legal even when
-    # not 128-aligned — writing 22 channels instead of padding to 128 cuts
+    # the output block's last dim EQUALS the full array dim (legal even when
+    # not 128-aligned) — writing 22 channels instead of padding to 128 cuts
     # output HBM traffic ~6x
-    out_pad = out_dim
 
     def kernel(*refs):
         if g:
@@ -269,8 +268,7 @@ def film_mlp(
         outs.append(rgb)
         outs.append(sigma)
         res = jnp.concatenate(outs, axis=-1)
-        out_ref[...] = res if out_pad == out_dim else jnp.pad(
-            res, ((0, 0), (0, out_pad - out_dim)))
+        out_ref[...] = res
 
     row_spec = lambda c: pl.BlockSpec(
         (tile, c), lambda t: (t, 0), memory_space=pltpu.VMEM)
@@ -293,16 +291,16 @@ def film_mlp(
                    if cfg.n_labels else 0))
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b * n_padded, out_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b * n_padded, out_dim), jnp.float32),
         grid=(b * tiles_per_b,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile, out_pad), lambda t: (t, 0),
+        out_specs=pl.BlockSpec((tile, out_dim), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=b * n * flops_per_pt,
-            bytes_accessed=b * n * (6 + g + out_pad) * 4,
+            bytes_accessed=b * n * (6 + g + out_dim) * 4,
             transcendentals=b * n * h * (lg + lc),
         ),
     )(*inputs, *weights)
-    out = out[:, :out_dim].reshape(b, n_padded, out_dim)
+    out = out.reshape(b, n_padded, out_dim)
     return out[:, :n] if pad_n else out

@@ -24,6 +24,7 @@ renders can use the fused kernel on TPU.
 """
 from __future__ import annotations
 
+import functools
 import math
 import os
 from typing import Any
@@ -377,6 +378,7 @@ def _unflatten_grads(dlayers, params, cfg: FieldConfig):
     return out
 
 
+@functools.lru_cache(maxsize=None)
 def make_film_mlp_trainable(cfg: FieldConfig, tile_fwd: int | None = None,
                             tile_bwd: int = DEFAULT_TILE):
     """Returns film_fn(params, points, dirs, grid_feats, fg, pg, fa, pa) ->
@@ -385,6 +387,10 @@ def make_film_mlp_trainable(cfg: FieldConfig, tile_fwd: int | None = None,
     points must be pre-box-warped; grid_feats pre-sampled (their producers —
     the warp and grid_sample — differentiate outside the kernel; the kernel's
     dpoints/dgf cotangents chain into them).
+
+    Cached per (cfg, tiles) — FieldConfig is a frozen dataclass — so repeat
+    apply_field calls reuse one custom_vjp wrapper instead of rebuilding the
+    closures every evaluation.
     """
     fwd_kw = {"tile": tile_fwd} if tile_fwd else {}
 
