@@ -62,30 +62,18 @@ def grid_sample_3d(grid: jax.Array, coords: jax.Array) -> jax.Array:
     return out.reshape(*batch_shape, c)
 
 
-def grid_sample_3d_fast(grid: jax.Array, coords: jax.Array,
-                        table_dtype=None) -> jax.Array:
-    """grid_sample_3d with ONE row-gather instead of 8 (TPU: gather cost
-    scales with gather COUNT — round-1 measured 155ms -> 64ms going 8 -> 2;
-    the fully z-expanded table here halves that again and dominated the
-    flagship render profile, PROFILE_FIELD.json).
+def build_zexp_table(grid: jax.Array, table_dtype=None) -> jax.Array:
+    """Build the z-expanded gather table for `grid` (C, D, H, W):
+    ((D+1)(H+1)(W+1), 8C), where row (z, y, x) holds the full 2x2x2
+    zero-padded neighborhood in corner order (dz, dy, dx), channels minor.
 
-    The (C, D, H, W) grid is zero-padded by 1 voxel and expanded into a
-    table whose row (z, y, x) holds the full 2x2x2 neighborhood [8C
-    channels]; a trilinear sample is one row-gather + an (N, 8)x(8C) weighted
-    reduce. 8x the grid's HBM (96^3 x 32ch: 934MB f32 / 467MB bf16) buys the
-    halved gather count — the classic TPU memory-for-gathers trade.
-
-    The zero border realizes torch's padding_mode='zeros' for one-cell
-    overflow; points further outside are masked (their result is zero either
-    way). Differentiable w.r.t. grid (pad/stack/gather). table_dtype=bf16
-    halves table bytes; the bf16 compute paths already quantize grid feats to
-    bf16 at the next matmul, so it costs nothing there. Numerics otherwise
-    match grid_sample_3d to f32 rounding.
+    This is pure (linear) data movement and, at the 96^3x32 flagship grid,
+    it is EXPENSIVE under XLA (~20ms per build on v5e: the (8,C,97,97,97) ->
+    (97^3, 8C) transpose materializes twice through relayouts — round-4
+    trace). Callers on a hot path must build ONCE per program/step via
+    fields.with_grid_table and reuse; see train/loop.py.
     """
     c, d, h, w = grid.shape
-    batch_shape = coords.shape[:-1]
-    xyz = coords.reshape(-1, 3)
-
     # padded (C, D+2, H+2, W+2), then fully-expanded rows of 8C
     p = jnp.pad(grid, ((0, 0), (1, 1), (1, 1), (1, 1)))
     if table_dtype is not None:
@@ -97,12 +85,23 @@ def grid_sample_3d_fast(grid: jax.Array, coords: jax.Array,
         p[:, 1:, :-1, :-1], p[:, 1:, :-1, 1:],
         p[:, 1:, 1:, :-1], p[:, 1:, 1:, 1:],
     ], axis=0)  # (8, C, D+1, H+1, W+1)
-    dp, hp, wp = d + 1, h + 1, w + 1
-    table = e.transpose(2, 3, 4, 0, 1).reshape(dp * hp * wp, 8 * c)
+    table = e.transpose(2, 3, 4, 0, 1).reshape((d + 1) * (h + 1) * (w + 1),
+                                               8 * c)
     # force materialization: without the barrier XLA fuses the pad/stack into
     # every gather consumer and recomputes the table per use, which is
     # catastrophic inside the full render graph
-    table = jax.lax.optimization_barrier(table)
+    return jax.lax.optimization_barrier(table)
+
+
+def sample_zexp_table(table: jax.Array, grid_shape: tuple[int, ...],
+                      coords: jax.Array) -> jax.Array:
+    """Trilinear sample from a prebuilt z-expanded `table` (build_zexp_table)
+    of a (C, D, H, W) grid: one row-gather + an (N, 8)x(8C) weighted reduce.
+    Semantics match grid_sample_3d (align_corners=True, zeros padding)."""
+    c, d, h, w = grid_shape
+    hp, wp = h + 1, w + 1
+    batch_shape = coords.shape[:-1]
+    xyz = coords.reshape(-1, 3)
 
     sizes = jnp.array([w, h, d], dtype=coords.dtype)
     idx = (xyz + 1.0) / 2.0 * (sizes - 1.0)
@@ -129,6 +128,31 @@ def grid_sample_3d_fast(grid: jax.Array, coords: jax.Array,
     w8 = w8 * mask.astype(dt)[:, None]
     out = jnp.einsum("nkc,nk->nc", rows.reshape(-1, 8, c).astype(dt), w8)
     return out.reshape(*batch_shape, c)
+
+
+def grid_sample_3d_fast(grid: jax.Array, coords: jax.Array,
+                        table_dtype=None) -> jax.Array:
+    """grid_sample_3d with ONE row-gather instead of 8 (TPU: gather cost
+    scales with gather COUNT — round-1 measured 155ms -> 64ms going 8 -> 2;
+    the fully z-expanded table here halves that again and dominated the
+    flagship render profile, PROFILE_FIELD.json).
+
+    8x the grid's HBM (96^3 x 32ch: 934MB f32 / 467MB bf16) buys the halved
+    gather count — the classic TPU memory-for-gathers trade. The zero border
+    realizes torch's padding_mode='zeros' for one-cell overflow; points
+    further outside are masked (their result is zero either way).
+    Differentiable w.r.t. grid (pad/stack/gather). table_dtype=bf16 halves
+    table bytes; the bf16 compute paths already quantize grid feats to bf16
+    at the next matmul, so it costs nothing there. Numerics otherwise match
+    grid_sample_3d to f32 rounding.
+
+    NOTE: this convenience composition rebuilds the table per call — fine
+    for one-shot programs, ruinous inside a chunk loop or a training step
+    (the build is ~20ms at the flagship grid). Hot paths pass a prebuilt
+    table via fields.with_grid_table instead.
+    """
+    table = build_zexp_table(grid, table_dtype)
+    return sample_zexp_table(table, grid.shape, coords)
 
 
 def grid_sample_2d(grid: jax.Array, coords: jax.Array,

@@ -289,6 +289,13 @@ def _shade_chunked(field_fn, output_dim, rcfg, origins, dirs, z_vals,
 def _film_field_fn(params, fcfg, rcfg, film_geo, film_app):
     compute_dtype = (jnp.bfloat16 if rcfg.compute_dtype == "bfloat16"
                      else jnp.float32)
+    # build the texture gather table ONCE per render (outside the ray-chunk
+    # lax.map and any remat scope); apply_field picks it up from params.
+    # no-op if the caller (train step) already injected one
+    params = fields.with_grid_table(
+        params, fcfg,
+        (jnp.bfloat16 if (rcfg.backend != "xla"
+                          or compute_dtype == jnp.bfloat16) else None))
 
     def field_fn(pts, drs):
         return fields.apply_field(
@@ -628,6 +635,10 @@ def eval_volume(
     pad = (-n) % chunk
     pts = jnp.pad(points, ((0, pad), (0, 0)))
     blocks = pts.reshape(-1, chunk, 3)
+    # texture table once, outside the chunk loop
+    params = fields.with_grid_table(
+        params, fcfg,
+        (jnp.bfloat16 if compute_dtype == jnp.bfloat16 else None))
 
     def eval_block(p):
         d = jnp.zeros_like(p).at[..., -1].set(-1.0)

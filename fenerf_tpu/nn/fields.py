@@ -35,7 +35,8 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from fenerf_tpu.core.grid_sample import grid_sample_3d_fast
+from fenerf_tpu.core.grid_sample import (build_zexp_table, grid_sample_3d_fast,
+                                         sample_zexp_table)
 from fenerf_tpu.nn import init as winit
 from fenerf_tpu.ops.fast_math import fast_sin
 
@@ -397,6 +398,38 @@ def _film_sin(x, w, b, freq, phase, compute_dtype):
     return fast_sin(freq * y + phase)
 
 
+GRID_TABLE_KEY = "grid_table"
+
+
+def with_grid_table(params: Params, cfg, table_dtype=jnp.bfloat16) -> Params:
+    """Return `params` with the z-expanded texture gather table precomputed
+    under GRID_TABLE_KEY (a DERIVED tensor — never part of the train state,
+    the optimizer, or checkpoints).
+
+    Building the table is ~20ms at the flagship 96^3x32 grid (round-4 trace:
+    the (8,C,97^3) relayouts dominated the whole training step when rebuilt
+    per microbatch chunk). Hoist it: once per render program (generator) /
+    once per training step (train/loop.py, with a manual VJP so grid grads
+    still flow). apply_field picks the table up automatically; no-op for
+    gridless configs or when a table is already present.
+    """
+    if (not isinstance(cfg, FieldConfig) or not cfg.grid_channels
+            or GRID_TABLE_KEY in params):
+        return params
+    return {**params,
+            GRID_TABLE_KEY: build_zexp_table(params["grid"], table_dtype)}
+
+
+def _grid_feats(params: Params, warped: jax.Array, table_dtype) -> jax.Array:
+    """Texture-grid features at warped coords: via the prebuilt table when
+    the caller injected one (with_grid_table), else built inline."""
+    table = params.get(GRID_TABLE_KEY)
+    if table is not None:
+        return sample_zexp_table(table, params["grid"].shape, warped)
+    return grid_sample_3d_fast(params["grid"], warped,
+                               table_dtype=table_dtype)
+
+
 def apply_field(
     params: Params,
     cfg: FieldConfig,
@@ -426,8 +459,7 @@ def apply_field(
         if cfg.grid_channels:
             # bf16 table: the kernel quantizes gf to bf16 at the next matmul
             # anyway; halving table bytes halves the dominant gather cost
-            gf = grid_sample_3d_fast(params["grid"], warped,
-                                     table_dtype=jnp.bfloat16)
+            gf = _grid_feats(params, warped, jnp.bfloat16)
         if backend == "pallas_train":
             from fenerf_tpu.ops.film_mlp_grad import make_film_mlp_trainable
 
@@ -458,10 +490,9 @@ def apply_field(
 
     grid_feats = None
     if cfg.grid_channels:
-        grid_feats = grid_sample_3d_fast(
-            params["grid"], x_in,
-            table_dtype=(jnp.bfloat16 if compute_dtype == jnp.bfloat16
-                         else None))
+        grid_feats = _grid_feats(
+            params, x_in,
+            (jnp.bfloat16 if compute_dtype == jnp.bfloat16 else None))
 
     x = x_in
     if grid_feats is not None and cfg.grid_to == "trunk":

@@ -53,6 +53,15 @@ DEFAULT_TILE = 256
 BWD_WT = os.environ.get("FENERF_BWD_WT", "0") == "1"
 BWD_ACC0 = os.environ.get("FENERF_BWD_ACC0", "0") == "1"
 
+# TIMING-ONLY ablation set (scripts/profile_bwd_ablate.py): members remove
+# pieces of the kernel body to attribute per-grid-step cost. Results are
+# NUMERICALLY WRONG with any member set — never enable outside profiling.
+#   "acc"    skip dW/db accumulation entirely (the per-layer f32 RMW)
+#   "resin"  feed ys[li] as the linear input (skips the xin sin recompute)
+#   "film"   skip dfreq/dphase reductions
+#   "cos"    use g directly as s (skips the cos recompute)
+ABLATE: frozenset = frozenset()
+
 
 def _fsin(v):
     return _poly_sin(_reduce(v))
@@ -177,6 +186,8 @@ def film_mlp_bwd(
                            preferred_element_type=jnp.float32)
 
         def acc_lin(wi, xin, dy):
+            if "acc" in ABLATE:
+                return
             if acc0:
                 dw_refs[wi][...] += jax.lax.dot_general(
                     xin.astype(mm_dtype), dy.astype(mm_dtype),
@@ -220,6 +231,8 @@ def film_mlp_bwd(
             if li == 0:
                 return x0
             y = ys[li - 1]
+            if "resin" in ABLATE:
+                return y
             return _fsin(fg_ref[0, li - 1][None, :] * y
                          + pg_ref[0, li - 1][None, :])
 
@@ -227,6 +240,8 @@ def film_mlp_bwd(
             if li == 0:
                 return cin
             y = ys[lg + li - 1]
+            if "resin" in ABLATE:
+                return y
             return _fsin(fa_ref[0, li - 1][None, :] * y
                          + pa_ref[0, li - 1][None, :])
 
@@ -260,9 +275,10 @@ def film_mlp_bwd(
             y = ys[lg + li]
             f = fa_ref[0, li][None, :]
             p = pa_ref[0, li][None, :]
-            s = _fcos(f * y + p) * g_c
-            dfa_ref[0, li, :] += (s * y).sum(axis=0)
-            dpa_ref[0, li, :] += s.sum(axis=0)
+            s = g_c if "cos" in ABLATE else _fcos(f * y + p) * g_c
+            if "film" not in ABLATE:
+                dfa_ref[0, li, :] += (s * y).sum(axis=0)
+                dpa_ref[0, li, :] += s.sum(axis=0)
             dy = s * f
             acc_lin(lg + li, color_x(li), dy)
             g_c = mm_t(dy, lg + li)
@@ -275,9 +291,10 @@ def film_mlp_bwd(
             y = ys[li]
             f = fg_ref[0, li][None, :]
             p = pg_ref[0, li][None, :]
-            s = _fcos(f * y + p) * g_x
-            dfg_ref[0, li, :] += (s * y).sum(axis=0)
-            dpg_ref[0, li, :] += s.sum(axis=0)
+            s = g_x if "cos" in ABLATE else _fcos(f * y + p) * g_x
+            if "film" not in ABLATE:
+                dfg_ref[0, li, :] += (s * y).sum(axis=0)
+                dpg_ref[0, li, :] += s.sum(axis=0)
             dy = s * f
             acc_lin(li, trunk_x(li), dy)
             g_x = mm_t(dy, li)

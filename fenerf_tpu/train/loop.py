@@ -293,6 +293,38 @@ def train_step(
     else:
         g_rcfg = rcfg
 
+    # ---- texture gather table: build ONCE per step ----------------------
+    # The z-expanded table build is ~20ms of pure relayout at the flagship
+    # 96^3x32 grid; rebuilt per microbatch chunk it was ~45% of the whole
+    # 32px-stage step (round-4 trace). One build serves both D rollouts and
+    # every G microbatch; grid grads flow through a manual jax.vjp of the
+    # builder, applied once to the f32-accumulated table cotangent.
+    use_table = (isinstance(fcfg, fields.FieldConfig) and fcfg.grid_channels
+                 and isinstance(state.g_params, dict)
+                 and "grid" in state.g_params)
+    if use_table:
+        from fenerf_tpu.core.grid_sample import build_zexp_table
+
+        table_dtype = (jnp.bfloat16
+                       if (g_bk != "xla" or rcfg.compute_dtype == "bfloat16")
+                       else None)
+        table, table_vjp = jax.vjp(
+            lambda g: build_zexp_table(g, table_dtype),
+            state.g_params["grid"])
+        render_params = {**state.g_params, fields.GRID_TABLE_KEY: table}
+    else:
+        render_params = state.g_params
+
+    def fold_table_grads(g_grads):
+        """Pop the table cotangent and fold it into the grid gradient."""
+        if not use_table:
+            return g_grads
+        g_grads = dict(g_grads)
+        dtable = g_grads.pop(fields.GRID_TABLE_KEY)
+        dgrid = table_vjp(dtable.astype(table.dtype))[0]
+        g_grads["grid"] = g_grads["grid"] + dgrid
+        return g_grads
+
     (k_zi, k_fi, k_zs, k_fs, k_zg, k_fg, k_aug) = jax.random.split(key, 7)
 
     if meta.diff_augment_policy:
@@ -323,7 +355,7 @@ def train_step(
                              meta.img_size))
             return zg, za, pix, jnp.zeros((b, 2)), jnp.asarray(0.0)
         pix, pos, op = jax.lax.stop_gradient(
-            _render_fakes(state.g_params, fcfg, rcfg, meta, k_f, zg, za,
+            _render_fakes(render_params, fcfg, rcfg, meta, k_f, zg, za,
                           scal.noise_std))
         return zg, za, pix, pos, op
 
@@ -382,8 +414,9 @@ def train_step(
         # faster than the split-4 scan at the 32px stage of record.
         (g_loss, (g_img_loss, g_seg_loss)), g_grads = jax.value_and_grad(
             _g_loss, has_aux=True)(
-            state.g_params, d_img_params, d_seg_params, fcfg, g_rcfg, meta,
+            render_params, d_img_params, d_seg_params, fcfg, g_rcfg, meta,
             k_fg, zg, za, scal, s)
+        g_grads = fold_table_grads(g_grads)
         tx_g = make_g_optimizer(meta, state.g_params)
         upd, opt_g = tx_g.update(g_grads, state.opt_g, state.g_params)
         g_params = optax.apply_updates(state.g_params, upd)
@@ -407,17 +440,26 @@ def train_step(
         k, zgs, zas = xs
         (loss, (li, ls)), grads = jax.value_and_grad(
             _g_loss, has_aux=True)(
-            state.g_params, d_img_params, d_seg_params, fcfg, g_rcfg, meta,
+            render_params, d_img_params, d_seg_params, fcfg, g_rcfg, meta,
             k, zgs, zas, scal)
         gsum = jax.tree.map(jnp.add, gsum, grads)
         return (gsum, lsum + loss, lsum_img + li, lsum_seg + ls), None
 
-    zero_g = jax.tree.map(jnp.zeros_like, state.g_params)
+    # grid-table cotangents accumulate in f32 across chunks regardless of
+    # the (possibly bf16) table dtype; the single rounding happens in
+    # fold_table_grads, matching the old per-chunk-scatter precision
+    zero_g = jax.tree.map(
+        lambda a: jnp.zeros(a.shape,
+                            jnp.promote_types(a.dtype, jnp.float32)
+                            if jnp.issubdtype(a.dtype, jnp.floating)
+                            else a.dtype),
+        render_params)
     (g_grads, g_loss, g_img_loss, g_seg_loss), _ = jax.lax.scan(
         split_grads,
         (zero_g, jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.0)),
         (gkeys, zg.reshape(s, bs, -1), za.reshape(s, bs, -1)),
     )
+    g_grads = fold_table_grads(g_grads)
     tx_g = make_g_optimizer(meta, state.g_params)
     upd, opt_g = tx_g.update(g_grads, state.opt_g, state.g_params)
     g_params = optax.apply_updates(state.g_params, upd)

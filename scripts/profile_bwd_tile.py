@@ -76,14 +76,19 @@ def main():
                 # data dependency so iterations serialize
                 mp_n = jax.tree.map(lambda a, d: a + 0.0 * d, mp_c, dmp)
                 return (mp_n, p_c + 0.0 * dp)
-            return jax.lax.fori_loop(0, ITERS, body, (mp, p))
+            fin = jax.lax.fori_loop(0, ITERS, body, (mp, p))
+            # ONE scalar output: blocking on the raw (mp, p) tree costs a
+            # ~45ms tunnel round trip PER BUFFER (16 buffers = ~720ms/call),
+            # which inflated the round-3 numbers ~3x (BASELINE.md round-4
+            # correction)
+            return fin[1].sum() + fin[0]["trunk"][0]["w"].sum()
 
         try:
-            out = run(mlp_params, pts)
-            jax.tree.map(lambda t: t.block_until_ready(), out)
+            run(mlp_params, pts).block_until_ready()
+            for _ in range(2):  # 3 warmups (first-execution artifact)
+                run(mlp_params, pts).block_until_ready()
             t0 = time.perf_counter()
-            out = run(mlp_params, pts)
-            jax.tree.map(lambda t: t.block_until_ready(), out)
+            run(mlp_params, pts).block_until_ready()
             dt = (time.perf_counter() - t0) / ITERS
         except Exception as e:  # VMEM OOM at large tiles is informative
             print(f"tile {tile}: FAILED {type(e).__name__}", file=sys.stderr)

@@ -95,20 +95,20 @@ def main():
                 # data dependency so iterations serialize
                 mp_n = jax.tree.map(lambda a, d: a + 0.0 * d, mp_c, dmp)
                 return (mp_n, p_c + 0.0 * dp)
-            return jax.lax.fori_loop(0, ITERS, body, (mp, p))
+            fin = jax.lax.fori_loop(0, ITERS, body, (mp, p))
+            # ONE scalar output — blocking per buffer costs ~45ms tunnel
+            # round trips each (round-4 correction, BASELINE.md)
+            return fin[1].sum() + fin[0]["trunk"][0]["w"].sum()
 
         try:
             t0 = time.perf_counter()
-            out = run(mlp_params, pts)
-            jax.tree.map(lambda t: t.block_until_ready(), out)
+            run(mlp_params, pts).block_until_ready()
             print(f"[{vname}] compile+first "
                   f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
             for _ in range(2):  # 3 warmups total (first-execution artifact)
-                out = run(mlp_params, pts)
-                jax.tree.map(lambda t: t.block_until_ready(), out)
+                run(mlp_params, pts).block_until_ready()
             t0 = time.perf_counter()
-            out = run(mlp_params, pts)
-            jax.tree.map(lambda t: t.block_until_ready(), out)
+            run(mlp_params, pts).block_until_ready()
             dt = (time.perf_counter() - t0) / ITERS
         except Exception as e:  # VMEM OOM (wt adds ~1.5MB) is informative
             print(f"[{vname}] FAILED {type(e).__name__}: {e}",
