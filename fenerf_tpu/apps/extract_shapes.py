@@ -29,6 +29,9 @@ def main(argv=None):
     p.add_argument("--export_ply", action="store_true",
                    help="also mesh the sigma volume (marching tetrahedra) "
                         "and write a .ply surface")
+    p.add_argument("--shard_rays", action="store_true",
+                   help="shard the voxel lattice across all visible devices "
+                        "(shard_map over the point axis; film family only)")
     p.add_argument("--iso_level", type=float, default=10.0,
                    help="sigma iso level for the mesh")
     args = p.parse_args(argv)
@@ -51,9 +54,20 @@ def main(argv=None):
 
     is_grid = config.get("family", "film") == "grid"
 
+    if args.shard_rays:
+        assert not is_grid, "--shard_rays supports the film family only"
+        from fenerf_tpu.train import sharding
+        mesh = sharding.data_mesh()
+        print(f"[shard_rays] lattice over {mesh.shape['data']} devices")
+    else:
+        mesh = None
+
     def extract(film_geo, film_app, name, z=None):
         if is_grid:
             out = gen.eval_volume_grid(params, fcfg, z, pts, chunk=args.chunk)
+        elif mesh is not None:
+            out = gen.eval_volume_sharded(params, fcfg, film_geo, film_app,
+                                          pts, mesh, chunk=args.chunk)
         else:
             out = gen.eval_volume(params, fcfg, film_geo, film_app, pts,
                                   chunk=args.chunk)

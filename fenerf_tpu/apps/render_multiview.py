@@ -34,6 +34,11 @@ def main(argv=None):
     p.add_argument("--fill_color", default="black",
                    choices=["black", "white", "grey", "light_grey"])
     p.add_argument("--fill_mode", default="seg_padding_background")
+    p.add_argument("--shard_rays", action="store_true",
+                   help="split each image's rays across all visible devices "
+                        "(ray-parallel shard_map — the NeRF analogue of "
+                        "context parallelism, SURVEY.md §5); film family "
+                        "only, img_size must divide by the device count")
     args = p.parse_args(argv)
 
     import jax
@@ -66,6 +71,9 @@ def main(argv=None):
     )
 
     if is_grid:
+        assert not args.shard_rays, (
+            "--shard_rays supports the film family only (the grid family's "
+            "per-point film has no sharded render path yet)")
         # latent-grid family: no W-space truncation (its film is per-point;
         # reference generate_avg_frequencies doesn't apply to SPATIALSIRENGRID)
         @jax.jit
@@ -74,6 +82,27 @@ def main(argv=None):
             out = gen.render_grid_from_z(params, fcfg, rcfg, jax.random.key(0),
                                          z_geo, noise_std=0.0, camera=camera)
             return out["pixels"]
+    elif args.shard_rays:
+        from fenerf_tpu.train import sharding
+
+        mesh = sharding.data_mesh()
+        n_dev = mesh.shape["data"]
+        assert args.image_size % n_dev == 0, (
+            f"--shard_rays: image_size {args.image_size} not divisible by "
+            f"{n_dev} devices")
+        print(f"[shard_rays] {n_dev} devices, "
+              f"{args.image_size // n_dev} rows/device")
+        avg = fields.avg_film(params, fcfg, jax.random.key(42))
+
+        @jax.jit
+        def render_one(params, z_geo, z_app, yaw):
+            camera = (jnp.asarray(math.pi * 0.5), yaw, jnp.asarray(args.fov))
+            film_geo, film_app = fields.field_film(params, fcfg, z_geo, z_app)
+            film_geo = fields.truncate_film(film_geo, avg[0], args.psi)
+            film_app = fields.truncate_film(film_app, avg[1], args.psi)
+            return gen.render_image_sharded(
+                params, fcfg, rcfg, jax.random.key(0), film_geo, film_app,
+                mesh, camera, batch_size=z_geo.shape[0], noise_std=0.0)
     else:
         avg = fields.avg_film(params, fcfg, jax.random.key(42))
 

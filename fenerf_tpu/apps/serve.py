@@ -66,7 +66,8 @@ go();
 
 def build_renderer(ckpt: str, image_size: int, num_steps: int,
                    ray_step_multiplier: int, fov: float, fill_mode: str,
-                   fill_color: str, ray_chunk: int, use_ema: bool):
+                   fill_color: str, ray_chunk: int, use_ema: bool,
+                   shard_rays: bool = False):
     """-> (render_np(seed, yaw, pitch, psi) -> (C,H,W) float array, meta)."""
     import jax
     import jax.numpy as jnp
@@ -79,6 +80,8 @@ def build_renderer(ckpt: str, image_size: int, num_steps: int,
     if use_ema:
         params = ema
     is_grid = config.get("family", "film") == "grid"
+    assert not (is_grid and shard_rays), (
+        "--shard_rays supports the film family only")
     if is_grid and fill_mode == "seg_padding_background":
         fill_mode = "eval_white_back"  # grid family is RGB-only
     steps = num_steps * ray_step_multiplier
@@ -98,6 +101,27 @@ def build_renderer(ckpt: str, image_size: int, num_steps: int,
                                          jax.random.key(0), z_geo,
                                          noise_std=0.0, camera=camera)
             return out["pixels"], out["depth"]
+    elif shard_rays:
+        from fenerf_tpu.train import sharding
+
+        mesh = sharding.data_mesh()
+        n_dev = mesh.shape["data"]
+        assert image_size % n_dev == 0, (
+            f"--shard_rays: image_size {image_size} not divisible by "
+            f"{n_dev} devices")
+        avg = fields.avg_film(params, fcfg, jax.random.key(42))
+
+        @jax.jit
+        def render_jit(z_geo, z_app, pitch, yaw, psi):
+            camera = (math.pi * 0.5 + pitch, math.pi * 0.5 + yaw,
+                      jnp.asarray(fov))
+            film_geo, film_app = fields.field_film(params, fcfg, z_geo, z_app)
+            film_geo = fields.truncate_film(film_geo, avg[0], psi)
+            film_app = fields.truncate_film(film_app, avg[1], psi)
+            pixels, depth = gen.render_image_sharded(
+                params, fcfg, rcfg, jax.random.key(0), film_geo, film_app,
+                mesh, camera, batch_size=1, noise_std=0.0, return_depth=True)
+            return pixels, depth
     else:
         avg = fields.avg_film(params, fcfg, jax.random.key(42))
 
@@ -216,12 +240,15 @@ def main(argv=None):
     p.add_argument("--ray_chunk", type=int, default=4096)
     p.add_argument("--use_ema", action="store_true", default=True)
     p.add_argument("--no_ema", dest="use_ema", action="store_false")
+    p.add_argument("--shard_rays", action="store_true",
+                   help="split each render's rays across all visible "
+                        "devices (film family only)")
     args = p.parse_args(argv)
 
     render_np, meta = build_renderer(
         args.ckpt, args.image_size, args.num_steps, args.ray_step_multiplier,
         args.fov, args.fill_mode, args.fill_color, args.ray_chunk,
-        args.use_ema)
+        args.use_ema, shard_rays=args.shard_rays)
     t0 = time.perf_counter()
     render_np(0, 0.0, 0.0, 0.7)  # compile + warm before accepting traffic
     print(f"warmed in {time.perf_counter() - t0:.1f}s "

@@ -21,26 +21,11 @@ import time
 
 
 def _host_barrier(name: str, timeout_ms: int | None = None) -> None:
-    """Cross-host rendezvous over the coordination service (pure gRPC).
+    """See train/sharding.py::host_barrier (coordination-service rendezvous
+    with a public-API fallback if the private client module moves)."""
+    from fenerf_tpu.train import sharding as _sh
 
-    Deliberately NOT a device collective: gloo (the CPU collectives
-    backend) gives every fresh communicator clique a hard ~30s rendezvous
-    window, so a psum-style barrier would itself be subject to the very
-    compile-skew race it is meant to close. The coordination-service
-    barrier has an explicit long deadline and compiles nothing.
-
-    The default 20min deadline covers every compile observed on this stack;
-    cold caches on big stages can exceed it — raise via
-    FENERF_BARRIER_TIMEOUT_MS rather than letting the fleet die at a fence.
-    """
-    from jax._src import distributed
-
-    if timeout_ms is None:
-        timeout_ms = int(os.environ.get("FENERF_BARRIER_TIMEOUT_MS",
-                                        1_200_000))
-    client = distributed.global_state.client
-    if client is not None:
-        client.wait_at_barrier(name, timeout_ms)
+    _sh.host_barrier(name, timeout_ms)
 
 
 def main(argv=None):
@@ -220,10 +205,20 @@ def main(argv=None):
         ecfg = meta.eval_render_config(
             img_size=min(128, meta.target_size), h_stddev=0.0, v_stddev=0.0,
             sample_dist=None, ray_chunk=4096)
-        for tag, params, psi, zg, za in (
-            ("fixed", state.g_params, 1.0, fixed_zg, fixed_za),
-            ("fixed_ema", state.ema.params, 1.0, fixed_zg, fixed_za),
-            ("random_ema", state.ema.params, 0.7,
+        # the tilted pair renders the same latents from h_mean + 0.5 — the
+        # at-a-glance 3D-consistency check (reference saves fixed / tilted /
+        # fixed_ema / tilted_ema / random every sample_interval,
+        # train_double_latent_semantic.py:466-521). ema2 is checkpointed but
+        # never sampled, matching the reference (only `ema` is copied into
+        # the sampling renders there).
+        tilted = ecfg.replace(h_mean=ecfg.h_mean + 0.5)
+        for tag, params, cfg_r, psi, zg, za in (
+            ("fixed", state.g_params, ecfg, 1.0, fixed_zg, fixed_za),
+            ("tilted", state.g_params, tilted, 1.0, fixed_zg, fixed_za),
+            ("fixed_ema", state.ema.params, ecfg, 1.0, fixed_zg, fixed_za),
+            ("tilted_ema", state.ema.params, tilted, 1.0, fixed_zg,
+             fixed_za),
+            ("random_ema", state.ema.params, ecfg, 0.7,
              jax.random.normal(jax.random.fold_in(key, step), fixed_zg.shape),
              jax.random.normal(jax.random.fold_in(key, step + 1),
                                fixed_za.shape)),
@@ -231,7 +226,7 @@ def main(argv=None):
             # reference passes the CURRENT annealed nerf_noise into the
             # sample renders (staged_forward receives **metadata,
             # train...py:471) — early grids are noise-lit
-            out = eval_render(params, fcfg, ecfg, jax.random.key(0), zg, za,
+            out = eval_render(params, fcfg, cfg_r, jax.random.key(0), zg, za,
                               psi, noise_std=meta.nerf_noise(step))
             pix = np.asarray(out["pixels"])
             save_image_grid(

@@ -80,14 +80,17 @@ class RenderConfig:
         return dataclasses.replace(self, **kw)
 
 
-# "auto": fused per-ray Pallas kernels (ops/ray_finalize.py) serve the
-# hierarchical path whenever the field backend is pallas/pallas_train and we
-# are on TPU. "always" forces them in interpret mode off-TPU (equivalence
-# tests); "never" pins the XLA machinery (the shipped default while the
-# kernels' rank-3 VMEM footprint is being tuned — Mosaic materializes every
-# (tile, 2S, 2S) intermediate at full tile size; the fusible nosort XLA path
-# below is the measured-fastest production path, PROFILE_RAYK.json).
-RAY_KERNELS = "never"
+# Fused per-ray Pallas kernels (ops/ray_finalize.py) for the hierarchical
+# path. SHIPPED DEFAULT: "never" — the kernels were built, measured +14%
+# SLOWER than the fusible nosort XLA path (Mosaic materializes every
+# (tile, 2S, 2S) intermediate at full tile size; PROFILE_RAYK.json), and
+# kept only for equivalence testing. Env knob FENERF_RAY_KERNELS:
+#   never   XLA machinery (production)
+#   auto    kernels when the field backend is pallas/pallas_train AND the
+#           host backend is TPU (re-measure here if a future stack changes
+#           the Mosaic footprint)
+#   always  kernels even off-TPU, in interpret mode (tests/test_ray_kernels)
+RAY_KERNELS = os.environ.get("FENERF_RAY_KERNELS", "never")
 
 # Apply fill/softmax once per image OUTSIDE the ray-block lax.map (default)
 # instead of inside each block body. The ops are elementwise per ray, so the
@@ -421,6 +424,7 @@ def render_image_sharded(
     batch_size: int = 1,
     noise_std: float | jax.Array = 0.0,
     axis: str = "data",
+    return_depth: bool = False,
 ) -> jax.Array:
     """Ray-parallel rendering: ONE image's rays sharded over the mesh.
 
@@ -431,8 +435,13 @@ def render_image_sharded(
     under a fixed camera; results concatenate along rows with no collectives
     beyond the output gather.
 
-    Requires a deterministic camera (pitch, yaw, fov); returns pixels
-    (B, C, H, W).
+    Ray generation and every RNG draw happen OUTSIDE the shard_map with
+    render_core's exact key structure, sharded along the ray axis — so the
+    result is BIT-IDENTICAL to the unsharded render(camera=...) under any
+    perturb / importance-sampling / sigma-noise setting (the per-ray work
+    those draws feed is embarrassingly parallel; only the draw location
+    moves). Requires a deterministic camera (pitch, yaw, fov); returns
+    pixels (B, C, H, W), plus depth (B, H, W) when return_depth.
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -440,40 +449,42 @@ def render_image_sharded(
     n_dev = mesh.shape[axis]
     h = rcfg.img_size
     assert h % n_dev == 0, f"img_size {h} % {n_dev} devices != 0"
-    rows_per = h // n_dev
     pitch, yaw, fov = camera
 
-    dirs_cam_full = raylib.pixel_ray_dirs(h, fov).reshape(h, h, 3)
+    # same split/order as render_core — bit-equal draws
+    k_rays, k_cnoise, k_pdf, k_fnoise = jax.random.split(key, 4)
+    dirs_cam = raylib.pixel_ray_dirs(h, fov)
     z0 = raylib.initial_z_vals(rcfg.num_steps, rcfg.ray_start, rcfg.ray_end)
+    tr = raylib.transform_rays(
+        k_rays, batch_size, dirs_cam, z0, 0.0, 0.0, yaw, pitch,
+        mode=None, perturb=rcfg.perturb,
+    )
+    noise = draw_ray_noise(k_cnoise, k_pdf, k_fnoise,
+                           batch_size, h * h, rcfg, noise_std)
 
-    def strip(dirs_rows, key):
-        # dirs_rows: (rows_per, W, 3) — this device's rays
-        idx = jax.lax.axis_index(axis)
-        k = jax.random.fold_in(key, idx)
-        k_rays, k_cnoise, k_pdf, k_fnoise = jax.random.split(k, 4)
-        dirs = dirs_rows.reshape(rows_per * h, 3)
-        tr = raylib.transform_rays(
-            k_rays, batch_size, dirs, z0, 0.0, 0.0, yaw, pitch,
-            mode=None, perturb=rcfg.perturb,
-        )
-        field_fn = _film_field_fn(params, fcfg, rcfg, film_geo, film_app)
-        noise = draw_ray_noise(k_cnoise, k_pdf, k_fnoise,
-                               batch_size, rows_per * h, rcfg, noise_std)
-        comp, _, wsum = _shade_chunked(
-            field_fn, fcfg.output_dim, rcfg, tr.ray_origins, tr.ray_dirs,
-            tr.z_vals, noise, noise_std)
+    field_fn = _film_field_fn(params, fcfg, rcfg, film_geo, film_app)
+
+    def strip(origins, dirs, z_vals, nse):
+        # each device shades its contiguous slice of the ray axis
+        comp, depth, wsum = _shade_chunked(
+            field_fn, fcfg.output_dim, rcfg, origins, dirs, z_vals,
+            nse, noise_std)
         if FILL_HOIST:
             comp = _finalize_comp(comp, wsum, rcfg)
-        c = comp.shape[-1]
-        return comp.reshape(batch_size, rows_per, h, c)
+        return comp, depth
 
+    ray_spec = P(None, axis)  # (B, R, ...) sharded along rays
     fn = shard_map(
         strip, mesh=mesh,
-        in_specs=(P(axis), None),
-        out_specs=P(None, axis),
+        in_specs=(ray_spec, ray_spec, ray_spec, ray_spec),
+        out_specs=(ray_spec, ray_spec),
     )
-    comp = fn(dirs_cam_full, key)  # (B, H, W, C)
-    return comp.transpose(0, 3, 1, 2) * 2.0 - 1.0
+    comp, depth = fn(tr.ray_origins, tr.ray_dirs, tr.z_vals, noise)
+    c = comp.shape[-1]
+    pixels = (comp.reshape(batch_size, h, h, c).transpose(0, 3, 1, 2)
+              * 2.0 - 1.0)
+    return (pixels, depth.reshape(batch_size, h, h)) if return_depth \
+        else pixels
 
 
 # ---------------------------------------------------------------------------
@@ -649,6 +660,41 @@ def eval_volume(
 
     out = jax.lax.map(eval_block, blocks)
     return out.reshape(-1, fcfg.output_dim)[:n]
+
+
+def eval_volume_sharded(
+    params: Params,
+    fcfg: fields.FieldConfig,
+    film_geo: Film,
+    film_app: Film,
+    points: jax.Array,          # (N, 3)
+    mesh,
+    chunk: int = 262144,
+    compute_dtype=jnp.float32,
+    axis: str = "data",
+) -> jax.Array:
+    """eval_volume with the point lattice sharded over the mesh — the shape
+    extraction analogue of render_image_sharded (a 256^3 sigma volume is 16M
+    independent field evaluations; each device takes a contiguous slab).
+    Pads to the device count, results concatenate with no collectives beyond
+    the output gather. Returns (N, output_dim)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    n = points.shape[0]
+    pad = (-n) % (n_dev * chunk) if n > n_dev * chunk else (-n) % n_dev
+    pts = jnp.pad(points, ((0, pad), (0, 0)))
+    per_dev = pts.shape[0] // n_dev
+
+    def slab(p):
+        return eval_volume(params, fcfg, film_geo, film_app, p,
+                           chunk=min(chunk, per_dev),
+                           compute_dtype=compute_dtype)
+
+    fn = shard_map(slab, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis))
+    out = fn(pts)
+    return out[:n]
 
 
 def eval_volume_grid(

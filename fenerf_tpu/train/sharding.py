@@ -28,6 +28,50 @@ def data_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("data",))
 
 
+def host_barrier(name: str, timeout_ms: int | None = None) -> None:
+    """Cross-host rendezvous over the coordination service (pure gRPC).
+
+    Deliberately NOT a device collective: gloo (the CPU collectives
+    backend) gives every fresh communicator clique a hard ~30s rendezvous
+    window, so a psum-style barrier would itself be subject to the very
+    compile-skew race it is meant to close. The coordination-service
+    barrier has an explicit long deadline and compiles nothing.
+
+    The default 20min deadline covers every compile observed on this stack;
+    cold caches on big stages can exceed it — raise via
+    FENERF_BARRIER_TIMEOUT_MS rather than letting the fleet die at a fence.
+
+    The coordination client lives behind a private module (jax._src
+    .distributed — no public handle exists as of jax 0.9); if a JAX upgrade
+    moves it, we fall back to jax.experimental.multihost_utils
+    .sync_global_devices (public, but a device collective, hence subject to
+    the 30s clique window above) and warn ONCE rather than dying in the
+    multihost-only path no CI fleet exercises.
+    """
+    import os as _os
+    import warnings
+
+    if timeout_ms is None:
+        timeout_ms = int(_os.environ.get("FENERF_BARRIER_TIMEOUT_MS",
+                                         1_200_000))
+    if jax.process_count() <= 1:
+        return
+    try:
+        from jax._src import distributed
+        client = distributed.global_state.client
+    except (ImportError, AttributeError) as e:  # private API moved
+        warnings.warn(
+            f"coordination-service barrier unavailable ({e!r}); falling "
+            "back to sync_global_devices (device collective — long compile "
+            "skews may exceed its rendezvous window)", RuntimeWarning,
+            stacklevel=2)
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
+        return
+    if client is not None:
+        client.wait_at_barrier(name, timeout_ms)
+
+
 def shard_batch(mesh: Mesh, *arrays):
     """Place per-example arrays with the batch axis split over 'data'.
 
