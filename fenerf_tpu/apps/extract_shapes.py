@@ -27,8 +27,11 @@ def main(argv=None):
                    help=".npz of inverted film tensors (apps/invert.py)")
     p.add_argument("--chunk", type=int, default=262144)
     p.add_argument("--export_ply", action="store_true",
-                   help="also mesh the sigma volume (marching tetrahedra) "
-                        "and write a .ply surface")
+                   help="also mesh the sigma volume and write a .ply surface")
+    p.add_argument("--mesher", choices=("cubes", "tet"), default="cubes",
+                   help="'cubes' = classic marching cubes (the reference "
+                        "meshes with skimage marching cubes, "
+                        "extract_shapes.py:1-8); 'tet' = marching tetrahedra")
     p.add_argument("--shard_rays", action="store_true",
                    help="shard the voxel lattice across all visible devices "
                         "(shard_map over the point axis; film family only)")
@@ -76,11 +79,14 @@ def main(argv=None):
         write_mrc(path, sigma, voxel_size=args.cube_size / res)
         print(f"wrote {path} (sigma in [{sigma.min():.2f}, {sigma.max():.2f}])")
         if args.export_ply:
-            from fenerf_tpu.utils.marching import (marching_tetrahedra,
+            from fenerf_tpu.utils.marching import (marching_cubes,
+                                                   marching_tetrahedra,
                                                    write_ply)
 
+            mesher = (marching_cubes if args.mesher == "cubes"
+                      else marching_tetrahedra)
             vox = args.cube_size / res
-            verts, faces = marching_tetrahedra(
+            verts, faces = mesher(
                 sigma, level=args.iso_level, spacing=(vox, vox, vox),
                 origin=(-args.cube_size / 2,) * 3)
             ply = os.path.join(args.output_dir, f"{name}.ply")

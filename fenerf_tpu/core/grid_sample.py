@@ -120,13 +120,18 @@ def sample_zexp_table(table: jax.Array, grid_shape: tuple[int, ...],
     rows = jnp.take(table, (zp * hp + yp) * wp + xp, axis=0)  # (N, 8C)
 
     dt = coords.dtype
-    wx = jnp.stack([1 - fx, fx], -1)          # (N, 2)
-    wy = jnp.stack([1 - fy, fy], -1)
-    wz = jnp.stack([1 - fz, fz], -1)
-    w8 = (wz[:, :, None, None] * wy[:, None, :, None]
-          * wx[:, None, None, :]).reshape(-1, 8)  # chunk order (dz, dy, dx)
-    w8 = w8 * mask.astype(dt)[:, None]
-    out = jnp.einsum("nkc,nk->nc", rows.reshape(-1, 8, c).astype(dt), w8)
+    wzs, wys, wxs = (1 - fz, fz), (1 - fy, fy), (1 - fx, fx)
+    m = mask.astype(dt)
+    # weighted corner reduce as 8 slice+mul terms instead of an einsum over
+    # a (N, 8, C) reshape: the (N, 8C) -> (N, 8, C) relayout broke fusion
+    # with the gather and its consumers (~20ms/step of pure copies in the
+    # round-4 train trace); slices along the minor axis fuse cleanly
+    out = None
+    for k in range(8):
+        dz, dy, dx = (k >> 2) & 1, (k >> 1) & 1, k & 1
+        w = (wzs[dz] * wys[dy] * wxs[dx] * m)[:, None]
+        term = rows[:, k * c:(k + 1) * c].astype(dt) * w
+        out = term if out is None else out + term
     return out.reshape(*batch_shape, c)
 
 

@@ -134,6 +134,70 @@ class TestMarchingTetrahedra:
         assert "element vertex" in head and "element face" in head
 
 
+class TestMarchingCubes:
+    def test_sphere_radius_volume_euler(self):
+        from fenerf_tpu.utils.marching import marching_cubes
+        n = 48
+        g = np.mgrid[0:n, 0:n, 0:n].astype(np.float64) - (n - 1) / 2
+        R = 15.0
+        vol = R ** 2 - (g ** 2).sum(0)
+        verts, faces = marching_cubes(vol, level=0.0,
+                                      origin=(-(n - 1) / 2,) * 3)
+        r = np.linalg.norm(verts, axis=1)
+        assert np.abs(r - R).max() < 0.05  # trilinear edge points on-sphere
+        edges = np.sort(np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                                        faces[:, [2, 0]]]), axis=1)
+        uniq, counts = np.unique(edges, axis=0, return_counts=True)
+        assert (counts == 2).all()  # closed 2-manifold
+        assert len(verts) - len(uniq) + len(faces) == 2  # Euler: sphere
+        # outward orientation: signed volume matches 4/3 pi R^3
+        v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+        V = np.einsum("ij,ij->", v0, np.cross(v1, v2)) / 6.0
+        ana = 4 / 3 * np.pi * R ** 3
+        assert abs(V - ana) / ana < 0.01
+
+    def test_random_closed_volumes_manifold(self):
+        # ambiguous-case stress: complementary diagonal faces between
+        # neighbor cells must not crack (counts != 2) the mesh
+        from fenerf_tpu.utils.marching import marching_cubes
+        rng = np.random.default_rng(0)
+        for _ in range(4):
+            vol = np.full((12, 13, 14), -10.0)
+            vol[1:-1, 1:-1, 1:-1] = rng.normal(size=(10, 11, 12))
+            verts, faces = marching_cubes(vol, 0.0)
+            assert (faces[:, 0] != faces[:, 1]).all()
+            assert (faces[:, 1] != faces[:, 2]).all()
+            edges = np.sort(np.concatenate(
+                [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]),
+                axis=1)
+            _, counts = np.unique(edges, axis=0, return_counts=True)
+            assert (counts == 2).all()
+
+    def test_single_corner_case(self):
+        # one corner above level in a single cell -> one corner-cutting tri
+        from fenerf_tpu.utils.marching import marching_cubes
+        vol = np.zeros((2, 2, 2))
+        vol[0, 0, 0] = 1.0
+        verts, faces = marching_cubes(vol, 0.5)
+        assert len(verts) == 3 and len(faces) == 1
+        # cut points at t=0.5 on the three edges out of corner (0, 0, 0)
+        expect = {(0.5, 0.0, 0.0), (0.0, 0.5, 0.0), (0.0, 0.0, 0.5)}
+        got = {tuple(np.round(v, 6)) for v in verts}
+        assert got == expect
+
+    def test_empty_and_spacing(self):
+        from fenerf_tpu.utils.marching import marching_cubes
+        verts, faces = marching_cubes(np.zeros((6, 6, 6)), level=1.0)
+        assert len(verts) == 0 and len(faces) == 0
+        vol = np.zeros((2, 2, 2))
+        vol[0, 0, 0] = 1.0
+        verts, _ = marching_cubes(vol, 0.5, spacing=(2.0, 4.0, 8.0),
+                                  origin=(10.0, 20.0, 30.0))
+        got = {tuple(np.round(v, 6)) for v in verts}
+        assert got == {(11.0, 20.0, 30.0), (10.0, 22.0, 30.0),
+                       (10.0, 20.0, 34.0)}
+
+
 class TestPlots:
     def test_plot_miou(self, tmp_path):
         # reference tools.py:636 plot_miou: mious.npy -> miou.png
