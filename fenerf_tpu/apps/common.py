@@ -30,15 +30,28 @@ def save_generator(
     model: str,
     step: int,
     field_kwargs: dict | None = None,
+    neural_renderers: dict | None = None,
 ) -> None:
+    """neural_renderers: optional {"nr_img"/"nr_seg": (params, cfg)} — the
+    HD upsampler heads embedded in released reference checkpoints
+    (generators.py:914-1018 StyleGenerator3d holds neural_renderer_img/_seg;
+    the multiview render script nulls them, :59-60, but the HD path uses
+    them). Stored alongside the field trees, read back by
+    load_neural_renderers."""
+    import dataclasses
+
     from fenerf_tpu.nn import latent_grid_field as lgf
 
     family = "grid" if lgf.is_grid_model(model) else "film"
     config = {"model": model, "step": int(step), "family": family,
               "field_kwargs": field_kwargs or {}}
     arrays = {}
-    for name, tree in (("params", params), ("ema", ema_params),
-                       ("ema2", ema2_params)):
+    trees = [("params", params), ("ema", ema_params), ("ema2", ema2_params)]
+    for key, (nr_params, nr_cfg) in (neural_renderers or {}).items():
+        assert key in ("nr_img", "nr_seg"), key
+        config[f"{key}_cfg"] = dataclasses.asdict(nr_cfg)
+        trees.append((key, nr_params))
+    for name, tree in trees:
         leaves = jax.tree_util.tree_leaves(tree)
         for i, leaf in enumerate(leaves):
             arrays[f"{name}_{i}"] = checkpoint.to_local_np(leaf)
@@ -68,6 +81,28 @@ def load_generator(path: str):
             return jax.tree_util.tree_unflatten(treedef, leaves)
 
         return tree("params"), tree("ema"), tree("ema2"), fcfg, config
+
+
+def load_neural_renderers(path: str):
+    """-> {"nr_img"/"nr_seg": (params, NeuralRendererConfig)} for the HD
+    upsampler heads stored by save_generator(neural_renderers=...); empty
+    dict when the checkpoint has none."""
+    from fenerf_tpu.nn.neural_renderer import (NeuralRendererConfig,
+                                               init_neural_renderer)
+
+    out = {}
+    with np.load(path, allow_pickle=False) as data:
+        config = json.loads(str(data["__config__"]))
+        for key in ("nr_img", "nr_seg"):
+            if f"{key}_cfg" not in config:
+                continue
+            cfg = NeuralRendererConfig(**config[f"{key}_cfg"])
+            template = init_neural_renderer(jax.random.key(0), cfg)
+            treedef = jax.tree_util.tree_structure(template)
+            leaves = [jnp.asarray(data[f"{key}_{i}"])
+                      for i in range(config[f"n_{key}"])]
+            out[key] = (jax.tree_util.tree_unflatten(treedef, leaves), cfg)
+    return out
 
 
 def best_backend(cfg, train: bool = False) -> str:

@@ -77,10 +77,14 @@ def main(argv=None):
                                  getattr(siren, "z_dim", 256)),
             "z_app_dim": getattr(siren, "z_app_dim",
                                  getattr(siren, "z_dim", 256)),
-            "n_labels": siren.output_dim - 4,
             "hidden_dim": getattr(siren, "hidden_dim", 256),
         }
         fcfg = fields.get_config(model, **field_kwargs)
+        if fcfg.output_dim != siren.output_dim:
+            # semantic layout: 1 bg + n_labels + 3 rgb (+weight ch); HD/RGB
+            # variants carry their output structure in the registry already
+            field_kwargs["n_labels"] = siren.output_dim - 4
+            fcfg = fields.get_config(model, **field_kwargs)
         import_fn = lambda sd: field_from_torch(sd, fcfg)
     params = import_fn(siren.state_dict())
 
@@ -98,10 +102,29 @@ def main(argv=None):
     base = os.path.dirname(args.generator)
     ema = load_ema(args.ema or os.path.join(base, "ema.pth"))
     ema2 = load_ema(args.ema2 or os.path.join(base, "ema2.pth"))
+
+    # released pickles may embed HD upsampler heads (StyleGenerator3d /
+    # ImplicitGenerator3d hold .neural_renderer_img/_seg, generators.py:14,
+    # 915); convert them alongside so the HD render path is one flag away
+    from fenerf_tpu.nn.neural_renderer import (config_from_torch_module,
+                                               neural_renderer_from_torch)
+
+    neural_renderers = {}
+    for attr, key in (("neural_renderer_img", "nr_img"),
+                      ("neural_renderer_seg", "nr_seg")):
+        tm = getattr(gen_module, attr, None)
+        if tm is None:
+            continue
+        nr_cfg = config_from_torch_module(tm)
+        neural_renderers[key] = (
+            neural_renderer_from_torch(tm.state_dict(), nr_cfg), nr_cfg)
     step = int(getattr(gen_module, "step", 0))
     save_generator(args.out, params, ema, ema2, model, step,
-                   field_kwargs=field_kwargs)
-    print(f"converted {args.generator} ({model}, step {step}) -> {args.out}")
+                   field_kwargs=field_kwargs,
+                   neural_renderers=neural_renderers or None)
+    nr = f" + {sorted(neural_renderers)}" if neural_renderers else ""
+    print(f"converted {args.generator} ({model}, step {step}){nr} "
+          f"-> {args.out}")
 
 
 if __name__ == "__main__":

@@ -39,12 +39,26 @@ def main(argv=None):
                         "(ray-parallel shard_map — the NeRF analogue of "
                         "context parallelism, SURVEY.md §5); film family "
                         "only, img_size must divide by the device count")
+    p.add_argument("--z_file", default=None,
+                   help="npz with z_geo (S, d) [and z_app]: --seeds index "
+                        "rows instead of seeding the RNG (render specific "
+                        "latents, e.g. inverted ones; also the "
+                        "released-checkpoint parity harness)")
+    p.add_argument("--deterministic", action="store_true",
+                   help="hierarchical sampling + ray jitter off, f32 "
+                        "compute: reproducible parity/debug mode")
+    p.add_argument("--hd", action="store_true",
+                   help="HD path: volumetric features + the checkpoint's "
+                        "stored neural-renderer upsampler heads "
+                        "(StyleGenerator3d, generators.py:914-1018); "
+                        "--image_size is the UPSAMPLED output size")
     args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
-    from fenerf_tpu.apps.common import best_backend, load_generator
+    from fenerf_tpu.apps.common import (best_backend, load_generator,
+                                        load_neural_renderers)
     from fenerf_tpu.models import generator as gen
     from fenerf_tpu.nn import fields
     from fenerf_tpu.utils.image import mask2color, make_grid, save_png, to_uint8
@@ -63,10 +77,27 @@ def main(argv=None):
     steps = args.num_steps * args.ray_step_multiplier
     yaw_offsets = [-0.5, -0.25, 0.0, 0.25, 0.5]
 
+    nrs = {}
+    render_size = args.image_size
+    if args.hd:
+        assert not is_grid and not args.shard_rays, \
+            "--hd is a film-family, single-program path"
+        nrs = load_neural_renderers(args.ckpt)
+        assert "nr_img" in nrs, \
+            f"{args.ckpt} stores no neural-renderer heads (--hd needs a " \
+            "converted HD checkpoint)"
+        nr_cfg = nrs["nr_img"][1]
+        up = nr_cfg.img_size // nr_cfg.input_size
+        assert args.image_size % up == 0, (args.image_size, up)
+        render_size = args.image_size // up  # feature-map resolution
+
     rcfg = gen.RenderConfig(
-        img_size=args.image_size, num_steps=steps, hierarchical=True,
-        perturb=True, fill_mode=args.fill_mode, fill_color=args.fill_color, fov=args.fov,
-        ray_chunk=args.ray_chunk, compute_dtype="bfloat16",
+        img_size=render_size, num_steps=steps,
+        hierarchical=not args.deterministic, perturb=not args.deterministic,
+        fill_mode=None if args.hd else args.fill_mode,
+        fill_color=args.fill_color, fov=args.fov,
+        ray_chunk=args.ray_chunk,
+        compute_dtype="float32" if args.deterministic else "bfloat16",
         backend=best_backend(fcfg),
     )
 
@@ -112,22 +143,39 @@ def main(argv=None):
             film_geo, film_app = fields.field_film(params, fcfg, z_geo, z_app)
             film_geo = fields.truncate_film(film_geo, avg[0], args.psi)
             film_app = fields.truncate_film(film_app, avg[1], args.psi)
-            out = gen.render(params, fcfg, rcfg, jax.random.key(0),
-                             film_geo, film_app, batch_size=z_geo.shape[0],
-                             noise_std=0.0, camera=camera)
+            if args.hd:
+                nr_seg = nrs.get("nr_seg", (None, None))
+                out = gen.render_hd(
+                    params, fcfg, rcfg, jax.random.key(0), film_geo,
+                    film_app, batch_size=z_geo.shape[0],
+                    nr_img_params=nrs["nr_img"][0], nr_img_cfg=nrs["nr_img"][1],
+                    nr_seg_params=nr_seg[0], nr_seg_cfg=nr_seg[1],
+                    noise_std=0.0, camera=camera)
+            else:
+                out = gen.render(params, fcfg, rcfg, jax.random.key(0),
+                                 film_geo, film_app,
+                                 batch_size=z_geo.shape[0],
+                                 noise_std=0.0, camera=camera)
             return out["pixels"]
 
+    zfile = np.load(args.z_file) if args.z_file else None
     for seed in args.seeds:
-        k = jax.random.key(seed)
-        kg, ka = jax.random.split(k)
-        z_geo = jax.random.normal(kg, (1, fcfg.z_geo_dim))
-        z_app = jax.random.normal(ka, (1, fcfg.z_app_dim))
+        if zfile is not None:
+            z_geo = jnp.asarray(zfile["z_geo"][seed:seed + 1])
+            za_src = zfile["z_app"] if "z_app" in zfile else zfile["z_geo"]
+            z_app = jnp.asarray(za_src[seed:seed + 1])
+        else:
+            k = jax.random.key(seed)
+            kg, ka = jax.random.split(k)
+            z_geo = jax.random.normal(kg, (1, fcfg.z_geo_dim))
+            z_app = jax.random.normal(ka, (1, fcfg.z_app_dim))
         rgbs, segs = [], []
         for off in yaw_offsets:
             pix = np.asarray(render_one(params, z_geo, z_app,
                                         jnp.asarray(math.pi * 0.5 + off)))
             rgbs.append(pix[0, -3:])
-            if fcfg.n_labels:
+            has_seg = ("nr_seg" in nrs) if args.hd else bool(fcfg.n_labels)
+            if has_seg and not is_grid:
                 segs.append(mask2color(pix[:, :-3])[0])
         grid = make_grid(
             to_uint8(np.stack(rgbs), normalize=True).transpose(0, 2, 3, 1),

@@ -141,6 +141,33 @@ def apply_neural_renderer(params: Params, cfg: NeuralRendererConfig,
     return rgb.transpose(0, 3, 1, 2)
 
 
+def config_from_torch_module(tm) -> NeuralRendererConfig:
+    """Infer a NeuralRendererConfig from an unpickled reference
+    NeuralRenderer module (neural_rendering.py:36-90); released generator
+    pickles embed these as .neural_renderer_img/_seg. img_size/input_size
+    are stored only as their ratio (n_blocks) — absolute values are free."""
+    convs = list(tm.conv_layers)
+    n_blocks = len(convs)
+    use_rgb_skip = bool(tm.use_rgb_skip)
+    out_dim = (tm.conv_rgb[0].out_channels if use_rgb_skip
+               else tm.conv_rgb.out_channels)
+    return NeuralRendererConfig(
+        n_feat=convs[0].in_channels,
+        input_dim=int(tm.input_dim),
+        out_dim=int(out_dim),
+        final_actvn=bool(tm.final_actvn),
+        min_feat=convs[-1].out_channels,
+        img_size=16 * 2 ** n_blocks,
+        input_size=16,
+        use_rgb_skip=use_rgb_skip,
+        # bilinear upsamplers are Sequential(Upsample, Blur); nn is a bare
+        # Upsample (no submodules)
+        upsample_feat="bilinear" if list(tm.upsample_2.children()) else "nn",
+        upsample_rgb="bilinear" if list(tm.upsample_rgb.children()) else "nn",
+        use_norm=bool(tm.use_norm),
+    )
+
+
 def neural_renderer_from_torch(sd, cfg: NeuralRendererConfig) -> Params:
     """state_dict of reference NeuralRenderer -> param pytree."""
     import numpy as np
