@@ -342,12 +342,18 @@ def main(argv=None):
             sample_grids(sharding.local_get(state), m, step)
 
         if args.eval_freq > 0 and step % args.eval_freq == 0:
+            # phase wall-clocks ([eval-t] lines): eval cost is host-skewed
+            # (host 0 dumps reals + scores FID) and sets the barrier margin;
+            # FID_REHEARSAL.json is assembled from these
+            _et0 = time.perf_counter()
             real_dir = os.path.join(args.output_dir, "evaluation/real")
             gen_dir = os.path.join(args.output_dir, "evaluation/generated")
             if host_index == 0:
                 fidlib.setup_evaluation(dataset, real_dir,
                                         target_size=m.target_size,
                                         num_real=args.num_real_imgs)
+                print(f"[eval-t] setup_evaluation_s="
+                      f"{time.perf_counter() - _et0:.1f}", flush=True)
             fcfg = m.field_config()
             ecfg = m.eval_render_config(
                 img_size=min(128, m.target_size), ray_chunk=4096)
@@ -364,15 +370,20 @@ def main(argv=None):
                 out = eval_render(ema_params, fcfg, ecfg, k, zg, za, psi=1.0)
                 return out["pixels"][:, -3:]
 
+            _et1 = time.perf_counter()
             fidlib.output_images(render_batch, gen_dir,
                                  num_eval=args.num_eval_imgs,
                                  host_index=host_index, n_hosts=n_hosts)
+            _et2 = time.perf_counter()
+            print(f"[eval-t] output_images_s={_et2 - _et1:.1f}", flush=True)
             if host_index == 0:
                 try:
                     fid = fidlib.calculate_fid(real_dir, gen_dir)
                     with open(os.path.join(args.output_dir, "fid.txt"),
                               "a") as f:
                         f.write(f"\n{step}:{fid}")
+                    print(f"[eval-t] calculate_fid_s="
+                          f"{time.perf_counter() - _et2:.1f}", flush=True)
                     print(f"[fid] step={step} fid={fid:.3f}")
                 except (FileNotFoundError, NotImplementedError) as e:
                     print(f"[fid] skipped: {e}")
@@ -384,7 +395,11 @@ def main(argv=None):
                 # dist.barrier() at train_double_latent_semantic.py:542,548).
                 # Coordination-service barrier, NOT a device collective —
                 # a gloo psum would time out at 30s under that same skew.
+                _et3 = time.perf_counter()
                 _host_barrier(f"fenerf_eval_{step}")
+                print(f"[eval-t] barrier_wait_s="
+                      f"{time.perf_counter() - _et3:.1f} total_eval_s="
+                      f"{time.perf_counter() - _et0:.1f}", flush=True)
 
     if host_index == 0:
         ckpt.save(os.path.join(args.output_dir, "train_state.npz"), state)

@@ -33,9 +33,12 @@ import argparse
 import glob
 import json
 import os
+import re
+import resource
 import socket
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -101,7 +104,12 @@ def main():
                         "stand-in with the real arch)")
     p.add_argument("--devices_per_host", type=int, default=2)
     p.add_argument("--timeout", type=int, default=2400)
+    p.add_argument("--target_size", type=int, default=32,
+                   help="dataset/eval render size (driver protocol: 128)")
+    p.add_argument("--barrier_timeout_ms", type=int, default=None,
+                   help="override FENERF_BARRIER_TIMEOUT_MS in the hosts")
     args = p.parse_args()
+    t_wall0 = time.perf_counter()
 
     # the parent only does tiny jax work (random-weight export) — keep it
     # off the TPU so the rehearsal never contends with a real device job
@@ -114,6 +122,7 @@ def main():
     if data_root is None:
         data_root = os.path.join(args.out_dir, "data")
         synth_data(data_root, args.num_data)
+    t_data = time.perf_counter() - t_wall0
 
     weights = args.inception_weights
     if weights is None:
@@ -132,6 +141,8 @@ def main():
         f"--xla_force_host_platform_device_count={args.devices_per_host}")
     env_base["FENERF_INCEPTION_WEIGHTS"] = weights
     env_base["PYTHONPATH"] = REPO + os.pathsep + env_base.get("PYTHONPATH", "")
+    if args.barrier_timeout_ms is not None:
+        env_base["FENERF_BARRIER_TIMEOUT_MS"] = str(args.barrier_timeout_ms)
 
     procs = []
     for pid in range(2):
@@ -146,10 +157,12 @@ def main():
             "--sample_interval", "0", "--model_save_interval", "0",
             "--log_every", "1",
             "--field_overrides", '{"hidden_dim":16,"map_hidden_dim":16}',
-            # target_size 32 keeps the CPU eval renders CI-sized; the real
-            # protocol's 128 comes from the curriculum when running full-scale
+            # default target_size 32 keeps CPU eval renders CI-sized; the
+            # driver protocol's 128 comes from the curriculum at full scale
+            # (or --target_size 128 for the protocol-scale rehearsal)
             "--stage_overrides",
-            '{"latent_geo_dim":8,"latent_app_dim":8,"target_size":32}',
+            '{"latent_geo_dim":8,"latent_app_dim":8,'
+            f'"target_size":{args.target_size}}}',
             "--multihost", "--coordinator", f"127.0.0.1:{port}",
             "--num_processes", "2", "--process_id", str(pid),
         ]
@@ -190,14 +203,41 @@ def main():
     fid = float(fid)
     assert fid == fid and abs(fid) != float("inf"), fid
 
+    # per-host eval phase wall-clocks from the [eval-t] lines (apps/train.py)
+    phases = []
+    for out in outs:
+        ph = {}
+        for k, v in re.findall(r"\[eval-t\] (\w+)=([0-9.]+)", out):
+            ph[k] = float(v)
+        phases.append(ph)
+    # host 1's barrier wait IS the host skew (host 0's reals dump + FID
+    # scoring tail); the deadline holds iff every wait < the timeout
+    deadline_ms = args.barrier_timeout_ms if args.barrier_timeout_ms \
+        is not None else int(os.environ.get("FENERF_BARRIER_TIMEOUT_MS",
+                                            1_200_000))
+    max_wait = max((p.get("barrier_wait_s", 0.0) for p in phases),
+                   default=0.0)
+    ru = resource.getrusage(resource.RUSAGE_CHILDREN)
+
     artifact = {
         "fid": fid, "eval_step": int(step),
         "num_real": len(real_pngs), "num_eval": len(gen_pngs),
+        "eval_px": args.target_size,
         "hosts": 2, "devices_per_host": args.devices_per_host,
         "curriculum": args.curriculum,
         "inception": ("REAL arch, random weights (stand-in)"
                       if args.inception_weights is None else weights),
         "synthetic_data": args.data_root is None,
+        "wall_s": round(time.perf_counter() - t_wall0, 1),
+        "synth_data_s": round(t_data, 1),
+        "peak_child_rss_mb": round(ru.ru_maxrss / 1024.0, 1),
+        "eval_phases_per_host": phases,
+        "barrier": {
+            "deadline_ms": deadline_ms,
+            "max_wait_s": max_wait,
+            "held": max_wait * 1000.0 < deadline_ms,
+            "margin_s": round(deadline_ms / 1000.0 - max_wait, 1),
+        },
         "note": "mechanism rehearsal; FID value meaningless until real "
                 "weights+data replace the stand-ins (same command, two "
                 "flags)",

@@ -123,6 +123,7 @@ def main():
     path = os.path.join(REPO, "PROFILE_BWD_VARIANTS.json")
     with open(path, "w") as f:
         json.dump(res, f, indent=1)
+        f.write("\n")
     print(json.dumps(res))
 
 
