@@ -237,6 +237,9 @@ def main():
             "max_wait_s": max_wait,
             "held": max_wait * 1000.0 < deadline_ms,
             "margin_s": round(deadline_ms / 1000.0 - max_wait, 1),
+            # the production default (train/sharding.py host_barrier) — the
+            # question a protocol-scale run answers on any given hardware
+            "default_20min_would_hold": max_wait * 1000.0 < 1_200_000,
         },
         "note": "mechanism rehearsal; FID value meaningless until real "
                 "weights+data replace the stand-ins (same command, two "
