@@ -192,6 +192,7 @@ def main():
         }
         with open(BASELINE_FILE, "w") as f:
             json.dump(base, f, indent=1)
+            f.write("\n")
     denom = base["reference_cpu_rays_per_sec"]
     print(json.dumps({
         "metric": "rays_per_sec_chip_128px_render",

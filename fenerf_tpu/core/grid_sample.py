@@ -11,6 +11,8 @@ to dynamic-gather which is fine for the 96^3x32 texture cube; the Pallas path
 """
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 
@@ -62,35 +64,87 @@ def grid_sample_3d(grid: jax.Array, coords: jax.Array) -> jax.Array:
     return out.reshape(*batch_shape, c)
 
 
+def _build_zexp_rows(grid: jax.Array, table_dtype) -> jax.Array:
+    """The z-expanded table as pure data movement, laid out channel-minor
+    from the start: one small (C, D+2, H+2, W+2) -> (D+2, H+2, W+2, C)
+    transpose of the padded grid, then 8 shifted VIEWS concatenated on the
+    minor axis. XLA fuses the concat into a single pass over the output.
+
+    The round-4 original (stack 8 corners channel-MAJOR, then transpose the
+    full (8, C, D+1, H+1, W+1) expansion) relayouted the 8x-expanded tensor
+    (~20ms per build at the 96^3x32 flagship grid on v5e); moving the
+    transpose BEFORE the 8x expansion does the same job on 1/8th the bytes.
+    """
+    c, d, h, w = grid.shape
+    p = jnp.pad(grid, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    if table_dtype is not None:
+        p = p.astype(table_dtype)
+    pt = p.transpose(1, 2, 3, 0)  # (D+2, H+2, W+2, C), channels minor
+    # row (z, y, x) col (k*C + c) = P[c, z+dz, y+dy, x+dx], k = dz*4+dy*2+dx
+    table = jnp.concatenate(
+        [pt[dz:dz + d + 1, dy:dy + h + 1, dx:dx + w + 1]
+         for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)],
+        axis=-1)
+    return table.reshape((d + 1) * (h + 1) * (w + 1), 8 * c)
+
+
+def zexp_table_adjoint(dtable: jax.Array, grid_shape: tuple[int, ...],
+                       out_dtype=jnp.float32) -> jax.Array:
+    """Exact adjoint of the (linear) z-expanded table build: fold a table
+    cotangent ((D+1)(H+1)(W+1), 8C) back to a grid cotangent (C, D, H, W).
+
+    dgrid[c, z, y, x] = sum_k dtable[(z+1-dz, y+1-dy, x+1-dx), k*C + c] —
+    all 8 shifted indices land in range, so this is 8 static slice-reads
+    summed in f32 plus ONE (D, H, W, C) -> (C, D, H, W) transpose of the
+    un-expanded result. XLA's automatic transpose of the builder instead
+    relayouts the full 8x-expanded cotangent (~57ms of the 32px train step
+    at the flagship grid, round-4 G-phase ablation PROFILE_TRAIN.json);
+    this hand adjoint is ~10x cheaper and accumulates the 8 corner terms
+    in f32 regardless of the (possibly bf16) table dtype.
+    """
+    c, d, h, w = grid_shape
+    dt = dtable.reshape(d + 1, h + 1, w + 1, 8 * c)
+    out = None
+    for k, (dz, dy, dx) in enumerate(
+            (dz, dy, dx) for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)):
+        t = dt[1 - dz:1 - dz + d, 1 - dy:1 - dy + h, 1 - dx:1 - dx + w,
+               k * c:(k + 1) * c].astype(out_dtype)
+        out = t if out is None else out + t
+    return out.transpose(3, 0, 1, 2)
+
+
+@lru_cache(maxsize=None)
+def _make_zexp_builder(grid_shape, grid_dtype, table_dtype):
+    """One custom-VJP builder per (shape, dtype) — statics live in the
+    closure because custom_vjp residuals must be JAX types."""
+    @jax.custom_vjp
+    def build(grid):
+        # force materialization: without the barrier XLA fuses the
+        # pad/concat into every gather consumer and recomputes the table
+        # per use, which is catastrophic inside the full render graph
+        return jax.lax.optimization_barrier(
+            _build_zexp_rows(grid, table_dtype))
+
+    build.defvjp(
+        lambda grid: (build(grid), None),
+        lambda _, dtable: (zexp_table_adjoint(dtable, grid_shape,
+                                              grid_dtype),))
+    return build
+
+
 def build_zexp_table(grid: jax.Array, table_dtype=None) -> jax.Array:
     """Build the z-expanded gather table for `grid` (C, D, H, W):
     ((D+1)(H+1)(W+1), 8C), where row (z, y, x) holds the full 2x2x2
     zero-padded neighborhood in corner order (dz, dy, dx), channels minor.
 
-    This is pure (linear) data movement and, at the 96^3x32 flagship grid,
-    it is EXPENSIVE under XLA (~20ms per build on v5e: the (8,C,97,97,97) ->
-    (97^3, 8C) transpose materializes twice through relayouts — round-4
-    trace). Callers on a hot path must build ONCE per program/step via
+    Linear data movement both ways; a custom VJP supplies the hand adjoint
+    (zexp_table_adjoint) because XLA's mechanical transpose of the builder
+    relayouts the 8x-expanded cotangent (see the adjoint's docstring).
+    Callers on a hot path must still build ONCE per program/step via
     fields.with_grid_table and reuse; see train/loop.py.
     """
-    c, d, h, w = grid.shape
-    # padded (C, D+2, H+2, W+2), then fully-expanded rows of 8C
-    p = jnp.pad(grid, ((0, 0), (1, 1), (1, 1), (1, 1)))
-    if table_dtype is not None:
-        p = p.astype(table_dtype)
-    # E[z, y, x] = [P[z+dz, y+dy, x+dx] for dz in (0,1) dy in (0,1) dx in (0,1)]
-    e = jnp.stack([
-        p[:, :-1, :-1, :-1], p[:, :-1, :-1, 1:],
-        p[:, :-1, 1:, :-1], p[:, :-1, 1:, 1:],
-        p[:, 1:, :-1, :-1], p[:, 1:, :-1, 1:],
-        p[:, 1:, 1:, :-1], p[:, 1:, 1:, 1:],
-    ], axis=0)  # (8, C, D+1, H+1, W+1)
-    table = e.transpose(2, 3, 4, 0, 1).reshape((d + 1) * (h + 1) * (w + 1),
-                                               8 * c)
-    # force materialization: without the barrier XLA fuses the pad/stack into
-    # every gather consumer and recomputes the table per use, which is
-    # catastrophic inside the full render graph
-    return jax.lax.optimization_barrier(table)
+    dt = None if table_dtype is None else jnp.dtype(table_dtype)
+    return _make_zexp_builder(grid.shape, grid.dtype, dt)(grid)
 
 
 def sample_zexp_table(table: jax.Array, grid_shape: tuple[int, ...],

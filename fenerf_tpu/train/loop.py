@@ -214,10 +214,32 @@ def _chunk_topk_softplus(scores, frac, n_chunks):
 def _g_loss(
     g_params, d_img_params, d_seg_params, fcfg, rcfg, meta: StageMeta,
     key, z_geo, z_app, scal: StepScalars, n_chunks: int = 1,
+    ablate: str | None = None,
 ):
+    # G-phase sub-ablations (profiling only, numerics-breaking — see
+    # scripts/profile_train.py): "gtab"/"gfold" cut the texture-table
+    # backward at different points, "gstop" cuts the whole render backward,
+    # "gcrit" replaces the critics with a shape-preserving stub.
+    if ablate in ("gtab", "gstop") and fields.GRID_TABLE_KEY in g_params:
+        g_params = {**g_params,
+                    fields.GRID_TABLE_KEY: jax.lax.stop_gradient(
+                        g_params[fields.GRID_TABLE_KEY])}
     out = gen.render_any(g_params, fcfg, rcfg, key, z_geo, z_app,
                          scal.noise_std)
     pixels, positions = out["pixels"], out["position"]
+    if ablate == "gstop":
+        pixels = jax.lax.stop_gradient(pixels)
+        positions = jax.lax.stop_gradient(positions)
+
+    def critic(dp, dcfg, x):
+        if ablate == "gcrit":
+            bb = x.shape[0]
+            return (x.reshape(bb, -1).mean(-1, keepdims=True),
+                    jnp.zeros((bb, meta.latent_geo_dim)),
+                    jnp.zeros((bb, meta.latent_app_dim)),
+                    jnp.zeros((bb, 2)))
+        return disc.apply_discriminator(dp, dcfg, x, scal.alpha)
+
     has_seg = meta.output_dim > 4
     fake_rgb = pixels[:, -3:]
     d_img_in = fake_rgb
@@ -226,8 +248,8 @@ def _g_loss(
 
         d_img_in = diff_augment(jax.random.fold_in(key, 77), fake_rgb,
                                 meta.diff_augment_policy)
-    img_s, img_geo, img_app, img_pos = disc.apply_discriminator(
-        d_img_params, meta.disc_img_config(), d_img_in, scal.alpha)
+    img_s, img_geo, img_app, img_pos = critic(
+        d_img_params, meta.disc_img_config(), d_img_in)
 
     def identity(geo, app, pos):
         t = 0.0
@@ -249,8 +271,8 @@ def _g_loss(
     if has_seg:
         seg_in = jnp.concatenate(
             [pixels[:, :-3], jax.lax.stop_gradient(fake_rgb)], axis=1)
-        seg_s, seg_geo, seg_app, seg_pos = disc.apply_discriminator(
-            d_seg_params, meta.disc_seg_config(), seg_in, scal.alpha)
+        seg_s, seg_geo, seg_app, seg_pos = critic(
+            d_seg_params, meta.disc_seg_config(), seg_in)
         g_seg_loss = (
             _chunk_topk_softplus(seg_s[:, 0], scal.topk_frac, n_chunks)
             + n_chunks * identity(seg_geo, seg_app, seg_pos)
@@ -274,7 +296,11 @@ def train_step(
                                 # numerics-breaking no-ops of one phase each —
                                 # "dimg" / "dseg" / "g" skip that optimizer
                                 # phase entirely; "dfakes" feeds the D phases
-                                # zeros instead of rendered fakes
+                                # zeros instead of rendered fakes. G-phase
+                                # sub-cuts: "gcrit" (stub critics), "gfold"
+                                # (skip table_vjp), "gtab" (also skip the
+                                # dtable scatter), "gstop" (skip the whole
+                                # render backward) — see _g_loss
 ) -> tuple[TrainState, dict[str, jax.Array]]:
     fcfg = meta.field_config()
     rcfg = meta.render_config()
@@ -294,11 +320,11 @@ def train_step(
         g_rcfg = rcfg
 
     # ---- texture gather table: build ONCE per step ----------------------
-    # The z-expanded table build is ~20ms of pure relayout at the flagship
-    # 96^3x32 grid; rebuilt per microbatch chunk it was ~45% of the whole
+    # Rebuilt per microbatch chunk the table build was ~45% of the whole
     # 32px-stage step (round-4 trace). One build serves both D rollouts and
-    # every G microbatch; grid grads flow through a manual jax.vjp of the
-    # builder, applied once to the f32-accumulated table cotangent.
+    # every G microbatch; grid grads flow through the hand adjoint of the
+    # builder (zexp_table_adjoint), applied once to the f32-accumulated
+    # table cotangent.
     use_table = (isinstance(fcfg, fields.FieldConfig) and fcfg.grid_channels
                  and isinstance(state.g_params, dict)
                  and "grid" in state.g_params)
@@ -308,20 +334,27 @@ def train_step(
         table_dtype = (jnp.bfloat16
                        if (g_bk != "xla" or rcfg.compute_dtype == "bfloat16")
                        else None)
-        table, table_vjp = jax.vjp(
-            lambda g: build_zexp_table(g, table_dtype),
-            state.g_params["grid"])
+        table = build_zexp_table(state.g_params["grid"], table_dtype)
         render_params = {**state.g_params, fields.GRID_TABLE_KEY: table}
     else:
         render_params = state.g_params
 
     def fold_table_grads(g_grads):
-        """Pop the table cotangent and fold it into the grid gradient."""
+        """Pop the table cotangent and fold it into the grid gradient.
+
+        The build is linear with a hand adjoint (zexp_table_adjoint — XLA's
+        mechanical transpose cost ~57ms/step at the flagship grid, round-4
+        G-phase ablation), so the fold calls it directly on the
+        f32-accumulated cotangent: no bf16 rounding on the way back."""
         if not use_table:
             return g_grads
         g_grads = dict(g_grads)
         dtable = g_grads.pop(fields.GRID_TABLE_KEY)
-        dgrid = table_vjp(dtable.astype(table.dtype))[0]
+        if ablate in ("gtab", "gstop", "gfold"):
+            return g_grads  # profiling: table backward cut (see _g_loss)
+        from fenerf_tpu.core.grid_sample import zexp_table_adjoint
+
+        dgrid = zexp_table_adjoint(dtable, state.g_params["grid"].shape)
         g_grads["grid"] = g_grads["grid"] + dgrid
         return g_grads
 
@@ -415,7 +448,7 @@ def train_step(
         (g_loss, (g_img_loss, g_seg_loss)), g_grads = jax.value_and_grad(
             _g_loss, has_aux=True)(
             render_params, d_img_params, d_seg_params, fcfg, g_rcfg, meta,
-            k_fg, zg, za, scal, s)
+            k_fg, zg, za, scal, s, ablate)
         g_grads = fold_table_grads(g_grads)
         tx_g = make_g_optimizer(meta, state.g_params)
         upd, opt_g = tx_g.update(g_grads, state.opt_g, state.g_params)
@@ -441,13 +474,13 @@ def train_step(
         (loss, (li, ls)), grads = jax.value_and_grad(
             _g_loss, has_aux=True)(
             render_params, d_img_params, d_seg_params, fcfg, g_rcfg, meta,
-            k, zgs, zas, scal)
+            k, zgs, zas, scal, 1, ablate)
         gsum = jax.tree.map(jnp.add, gsum, grads)
         return (gsum, lsum + loss, lsum_img + li, lsum_seg + ls), None
 
     # grid-table cotangents accumulate in f32 across chunks regardless of
-    # the (possibly bf16) table dtype; the single rounding happens in
-    # fold_table_grads, matching the old per-chunk-scatter precision
+    # the (possibly bf16) table dtype; fold_table_grads folds the f32
+    # accumulation straight to the grid (no bf16 rounding on the way back)
     zero_g = jax.tree.map(
         lambda a: jnp.zeros(a.shape,
                             jnp.promote_types(a.dtype, jnp.float32)

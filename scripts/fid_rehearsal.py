@@ -247,6 +247,7 @@ def main():
     }
     with open(os.path.join(REPO, "FID_REHEARSAL.json"), "w") as f:
         json.dump(artifact, f, indent=1)
+        f.write("\n")
     print(json.dumps(artifact))
 
 

@@ -102,6 +102,7 @@ def main():
 
     with open(os.path.join(REPO, "PROFILE_BWD.json"), "w") as f:
         json.dump(res, f, indent=1)
+        f.write("\n")
     print(json.dumps(res, indent=1), file=sys.stderr)
 
 

@@ -194,6 +194,7 @@ def main():
 
     with open(os.path.join(REPO, "PROFILE_DMA.json"), "w") as f:
         json.dump(res, f, indent=1)
+        f.write("\n")
     log(json.dumps(res))
 
 

@@ -147,6 +147,7 @@ def main():
 
     with open(os.path.join(REPO, "PROFILE_EPI.json"), "w") as f2:
         json.dump(res, f2, indent=1)
+        f2.write("\n")
     log(json.dumps(res))
 
 

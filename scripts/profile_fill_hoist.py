@@ -115,6 +115,7 @@ def main():
 
     with open(os.path.join(REPO, "PROFILE_FILLHOIST.json"), "w") as f:
         json.dump({k: round(v, 1) for k, v in res.items()}, f, indent=1)
+        f.write("\n")
     log(json.dumps(res))
 
 

@@ -87,6 +87,7 @@ def main():
 
     with open(os.path.join(REPO, "PROFILE_GATHER.json"), "w") as f:
         json.dump(res, f, indent=1)
+        f.write("\n")
     log(json.dumps(res))
 
 

@@ -103,6 +103,7 @@ def main():
 
     with open(os.path.join(REPO, "PROFILE_HEADFOLD.json"), "w") as f:
         json.dump(results, f, indent=1)
+        f.write("\n")
     print(json.dumps(results))
 
 

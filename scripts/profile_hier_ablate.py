@@ -126,6 +126,7 @@ def main():
             res["base_ms"] - res[k2], 1)
     with open(os.path.join(REPO, "PROFILE_HIER.json"), "w") as f:
         json.dump({a: round(b, 1) for a, b in res.items()}, f, indent=1)
+        f.write("\n")
     log(json.dumps(res))
 
 

@@ -208,6 +208,7 @@ def main():
     merged.update({k: (round(v, 1) if v else None) for k, v in res.items()})
     with open(path, "w") as f:
         json.dump(merged, f, indent=1)
+        f.write("\n")
     log(json.dumps(res))
 
 

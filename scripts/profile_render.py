@@ -151,6 +151,7 @@ def main():
     results["sin_fraction_of_kernel"] = sin_cost * results["kernel"]
     with open(os.path.join(REPO, "PROFILE_FIELD.json"), "w") as f:
         json.dump(results, f, indent=1)
+        f.write("\n")
     print(json.dumps(results))
 
 

@@ -221,6 +221,7 @@ def main():
     merged.update({k2: round(v, 2) for k2, v in res.items()})
     with open(path, "w") as f:
         json.dump(merged, f, indent=1)
+        f.write("\n")
     log(json.dumps(res, indent=1))
 
 

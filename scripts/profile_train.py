@@ -52,6 +52,16 @@ from fenerf_tpu.train import loop as looplib
 ALL_VARIANTS = ("base", "no_dimg", "no_dseg", "no_g", "no_dfakes", "no_r1",
                 "split1", "full", "flat")
 
+# G-phase sub-cuts (train_step ablate values, see train/loop.py::_g_loss):
+#   gcrit  critics replaced by a shape-preserving stub (drops D fwd + bwd-to-
+#          input inside the G loss; render fwd+bwd + table backward kept)
+#   gfold  table_vjp fold skipped (dtable scatter still computed)
+#   gtab   table stop-gradded (no dtable scatter, no fold; field bwd kept)
+#   gstop  pixels stop-gradded (no render backward at all)
+# base - gcrit = critic cost; gfold deltas isolate the fold; gfold - gtab =
+# the dtable scatter; gtab - gstop = field + hierarchical backward.
+G_SUB_VARIANTS = ("gcrit", "gfold", "gtab", "gstop")
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -91,6 +101,9 @@ def main():
     p.add_argument("--variants", default=",".join(ALL_VARIANTS))
     p.add_argument("--curriculum",
                    default="CelebA_double_semantic_texture_embedding_256_dim_96")
+    p.add_argument("--dry", action="store_true",
+                   help="print only; do not update PROFILE_TRAIN.json "
+                        "(CPU smoke runs must not overwrite TPU rows)")
     args = p.parse_args()
 
     meta = dataclasses.replace(
@@ -124,6 +137,8 @@ def main():
         elif v == "flat":
             m = dataclasses.replace(meta, hierarchical_sample=False,
                                     num_steps=2 * args.steps)
+        elif v in G_SUB_VARIANTS:
+            ablate = v
         elif v.startswith("no_"):
             ablate = v[3:]
         log(f"[{v}]")
@@ -134,14 +149,20 @@ def main():
 
     if "base_ms" in res:
         res["imgs_per_s"] = round(args.bs / res["base_ms"] * 1000, 2)
+    if args.dry:
+        print(json.dumps(res))
+        return
     path = os.path.join(REPO, "PROFILE_TRAIN.json")
     merged = {}
     if os.path.exists(path):
         with open(path) as f:
             merged = json.load(f)
-    merged[f"img{args.img}_bs{args.bs}"] = res
+    # merge-update so variant families measured in separate runs accumulate
+    # into one per-stage row (same session methodology assumed)
+    merged.setdefault(f"img{args.img}_bs{args.bs}", {}).update(res)
     with open(path, "w") as f:
         json.dump(merged, f, indent=1)
+        f.write("\n")
     print(json.dumps(res))
 
 

@@ -129,6 +129,7 @@ def main():
     }
     with open(args.out, "w") as f:
         json.dump(summary, f, indent=1)
+        f.write("\n")
     print(json.dumps({kk: v for kk, v in summary.items()
                       if not kk.endswith("losses")}))
 

@@ -162,6 +162,95 @@ class TestTrainStep:
         assert diff > 0
 
 
+def tiny_texture_meta(**overrides):
+    """CPU-sized flagship texture-embedding stage (grid_channels path:
+    per-step zexp table build + cotangent fold in train_step)."""
+    cur = get_curriculum("CelebA_double_semantic_texture_embedding_256_dim_96")
+    meta = cur.at_step(0)
+    kw = dict(
+        batch_size=4, batch_split=2, img_size=16, num_steps=4,
+        latent_geo_dim=8, latent_app_dim=8,
+        field_overrides=(("hidden_dim", 16), ("map_hidden_dim", 16),
+                         ("grid_resolution", 8), ("grid_channels", 8)),
+    )
+    kw.update(overrides)
+    return dataclasses.replace(meta, **kw)
+
+
+class TestTextureTableTrainStep:
+    def test_one_step_texture_family(self):
+        """Full jitted train_step on the texture-grid family: finite losses,
+        the grid parameter moves, and the derived table never leaks into the
+        train state."""
+        from fenerf_tpu.nn import fields
+
+        meta = tiny_texture_meta()
+        state = looplib.init_train_state(jax.random.key(0), meta)
+        assert "grid" in state.g_params
+        rng = np.random.RandomState(0)
+        imgs = jnp.asarray(rng.randn(4, 3, 16, 16).astype(np.float32))
+        labels = jnp.asarray(rng.randn(4, 18, 16, 16).astype(np.float32))
+        scal = looplib.StepScalars(
+            alpha=jnp.asarray(0.5), noise_std=jnp.asarray(1.0),
+            topk_frac=jnp.asarray(1.0))
+        old_grid = np.asarray(state.g_params["grid"])
+        new_state, metrics = looplib.jit_train_step(meta)(
+            state, imgs, labels, jax.random.key(1), scal)
+        for k in ("d_img_loss", "d_seg_loss", "g_loss"):
+            assert np.isfinite(float(metrics[k])), k
+        assert fields.GRID_TABLE_KEY not in new_state.g_params
+        assert float(
+            np.abs(old_grid - np.asarray(new_state.g_params["grid"])).sum()
+        ) > 0, "grid did not update"
+
+    def test_fold_composition_matches_autodiff(self):
+        """The train_step composition (precompute table -> differentiate the
+        G loss w.r.t. render_params -> pop the table cotangent -> hand-fold
+        via zexp_table_adjoint into the grid grad) must equal plain autodiff
+        through a closure that builds the table inline."""
+        from fenerf_tpu.core.grid_sample import (build_zexp_table,
+                                                 zexp_table_adjoint)
+        from fenerf_tpu.nn import fields
+
+        meta = tiny_texture_meta(batch_split=1)
+        fcfg = meta.field_config()
+        rcfg = meta.render_config()
+        state = looplib.init_train_state(jax.random.key(0), meta)
+        key = jax.random.key(3)
+        rng = np.random.RandomState(7)
+        zg = jnp.asarray(rng.randn(4, 8).astype(np.float32))
+        za = jnp.asarray(rng.randn(4, 8).astype(np.float32))
+        scal = looplib.StepScalars(
+            alpha=jnp.asarray(0.7), noise_std=jnp.asarray(0.0),
+            topk_frac=jnp.asarray(1.0))
+
+        def loss_of(p):
+            return looplib._g_loss(
+                p, state.d_img_params, state.d_seg_params, fcfg, rcfg,
+                meta, key, zg, za, scal)[0]
+
+        # path A: exactly what train_step does
+        table = build_zexp_table(state.g_params["grid"])
+        rp = {**state.g_params, fields.GRID_TABLE_KEY: table}
+        gA = dict(jax.grad(loss_of)(rp))
+        dtable = gA.pop(fields.GRID_TABLE_KEY)
+        gA["grid"] = gA["grid"] + zexp_table_adjoint(
+            dtable, state.g_params["grid"].shape)
+
+        # path B: autodiff through the inline table build
+        gB = jax.grad(lambda p: loss_of(
+            {**p, fields.GRID_TABLE_KEY: build_zexp_table(p["grid"])}))(
+            state.g_params)
+
+        la = jax.tree_util.tree_flatten_with_path(gA)[0]
+        lb = jax.tree_util.tree_flatten_with_path(gB)[0]
+        assert [p for p, _ in la] == [p for p, _ in lb]
+        for (path, a), (_, b) in zip(la, lb):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6,
+                err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
 class TestShardedTrainStep:
     def test_8_device_mesh_step(self):
         assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
