@@ -104,12 +104,15 @@ def main():
     p.add_argument("--dry", action="store_true",
                    help="print only; do not update PROFILE_TRAIN.json "
                         "(CPU smoke runs must not overwrite TPU rows)")
+    p.add_argument("--remat", action="store_true",
+                   help="stage-of-record remat flag (the flagship 64/128px "
+                        "stages set remat=True)")
     args = p.parse_args()
 
     meta = dataclasses.replace(
         curlib.get_curriculum(args.curriculum).at_step(0),
         batch_size=args.bs, img_size=args.img, num_steps=args.steps,
-        batch_split=args.split)
+        batch_split=args.split, remat=args.remat)
     log(f"platform={jax.default_backend()} img={args.img} bs={args.bs} "
         f"steps={args.steps} split={args.split}")
 
