@@ -11,10 +11,19 @@ to dynamic-gather which is fine for the 96^3x32 texture cube; the Pallas path
 """
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
+
+# Pallas table-cotangent fold kernel (ops/zexp_fold.py): built, measured
+# SLOWER than the XLA slice fold at the flagship grid (14.5 vs 12.2 ms —
+# the 4-partial-output write amplification + 97-sublane block padding beat
+# the VMEM locality win; PROFILE_ZEXP.json), and kept only for equivalence
+# testing and re-measurement on future stacks. FENERF_FOLD_KERNEL=1 enables
+# it on TPU; identical math either way.
+FOLD_KERNEL = os.environ.get("FENERF_FOLD_KERNEL", "0") == "1"
 
 
 def grid_sample_3d(grid: jax.Array, coords: jax.Array) -> jax.Array:
@@ -101,7 +110,26 @@ def zexp_table_adjoint(dtable: jax.Array, grid_shape: tuple[int, ...],
     at the flagship grid, round-4 G-phase ablation PROFILE_TRAIN.json);
     this hand adjoint is ~10x cheaper and accumulates the 8 corner terms
     in f32 regardless of the (possibly bf16) table dtype.
+
+    On TPU the fold dispatches to a Pallas kernel (ops/zexp_fold.py) that
+    reads each cotangent element once VMEM-locally instead of XLA's
+    8-scattered-reads-per-output loop; FENERF_FOLD_KERNEL=0 restores the
+    XLA slice fold (both paths compute the identical sum, f32 accumulation
+    either way).
     """
+    if (FOLD_KERNEL and out_dtype == jnp.float32
+            and jax.default_backend() == "tpu"):
+        from fenerf_tpu.ops.zexp_fold import fold_zexp
+
+        return fold_zexp(dtable, grid_shape)
+    return zexp_table_adjoint_xla(dtable, grid_shape, out_dtype)
+
+
+def zexp_table_adjoint_xla(dtable: jax.Array, grid_shape: tuple[int, ...],
+                           out_dtype=jnp.float32) -> jax.Array:
+    """The XLA slice-fold formulation (kernel-dispatch bypassed): the
+    reference both for the Pallas kernel's parity tests and for the
+    FENERF_FOLD_KERNEL=0 escape hatch."""
     c, d, h, w = grid_shape
     dt = dtable.reshape(d + 1, h + 1, w + 1, 8 * c)
     out = None

@@ -36,7 +36,8 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/fenerf_jax_cache"))
 
-from fenerf_tpu.core.grid_sample import _build_zexp_rows, zexp_table_adjoint
+from fenerf_tpu.core.grid_sample import (_build_zexp_rows,
+                                          zexp_table_adjoint_xla)
 
 
 def log(*a):
@@ -100,8 +101,11 @@ def main():
                          jnp.zeros(shp, jnp.float32))
         return vjp(dtab)[0]
 
+    from fenerf_tpu.ops.zexp_fold import fold_zexp
+
     variants = {
-        "slices": lambda t: zexp_table_adjoint(t, shape),
+        "kernel": lambda t: fold_zexp(t, shape),
+        "slices": lambda t: zexp_table_adjoint_xla(t, shape),
         "noshift": lambda t: fold_noshift(t, shape),
         "notrans": lambda t: fold_notrans(t, shape),
         "matmul": lambda t: fold_matmul(t, shape),
