@@ -22,8 +22,27 @@ import jax.numpy as jnp
 # the 4-partial-output write amplification + 97-sublane block padding beat
 # the VMEM locality win; PROFILE_ZEXP.json), and kept only for equivalence
 # testing and re-measurement on future stacks. FENERF_FOLD_KERNEL=1 enables
-# it on TPU; identical math either way.
-FOLD_KERNEL = os.environ.get("FENERF_FOLD_KERNEL", "0") == "1"
+# it on TPU; identical math either way. Read LAZILY at dispatch time (not
+# import time) so tests/launchers that set the env var after import work.
+def _fold_kernel_requested() -> bool:
+    return os.environ.get("FENERF_FOLD_KERNEL", "0") == "1"
+
+
+_FOLD_FALLBACK_LOGGED = False
+
+
+def _log_fold_fallback(reason: str) -> None:
+    """Warn ONCE when FENERF_FOLD_KERNEL=1 is set but dispatch falls back to
+    the XLA fold (non-f32 out_dtype or non-TPU backend) — a silent fallback
+    would invalidate the re-measurement the flag exists for."""
+    global _FOLD_FALLBACK_LOGGED
+    if not _FOLD_FALLBACK_LOGGED:
+        _FOLD_FALLBACK_LOGGED = True
+        import warnings
+
+        warnings.warn(
+            f"FENERF_FOLD_KERNEL=1 requested but falling back to the XLA "
+            f"slice fold: {reason}")
 
 
 def grid_sample_3d(grid: jax.Array, coords: jax.Array) -> jax.Array:
@@ -117,11 +136,16 @@ def zexp_table_adjoint(dtable: jax.Array, grid_shape: tuple[int, ...],
     XLA slice fold (both paths compute the identical sum, f32 accumulation
     either way).
     """
-    if (FOLD_KERNEL and out_dtype == jnp.float32
-            and jax.default_backend() == "tpu"):
-        from fenerf_tpu.ops.zexp_fold import fold_zexp
+    if _fold_kernel_requested():
+        if out_dtype != jnp.float32:
+            _log_fold_fallback(f"out_dtype={out_dtype} (kernel is f32-only)")
+        elif jax.default_backend() != "tpu":
+            _log_fold_fallback(
+                f"backend={jax.default_backend()} (kernel is TPU-only)")
+        else:
+            from fenerf_tpu.ops.zexp_fold import fold_zexp
 
-        return fold_zexp(dtable, grid_shape)
+            return fold_zexp(dtable, grid_shape)
     return zexp_table_adjoint_xla(dtable, grid_shape, out_dtype)
 
 
@@ -141,7 +165,7 @@ def zexp_table_adjoint_xla(dtable: jax.Array, grid_shape: tuple[int, ...],
     return out.transpose(3, 0, 1, 2)
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=32)
 def _make_zexp_builder(grid_shape, grid_dtype, table_dtype):
     """One custom-VJP builder per (shape, dtype) — statics live in the
     closure because custom_vjp residuals must be JAX types."""

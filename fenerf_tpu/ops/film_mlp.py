@@ -16,8 +16,11 @@ Layout:
   * the color-branch concat [ray_dir | grid_feats | x] is realized as
     row-split matmuls (W rows [0:3], [3:3+G], [3+G:]) — no concat in VMEM.
 
-Forward-only: training uses the XLA path (autodiff); inference/eval/bench
-route here (fields.apply_field(..., backend='pallas') via RenderConfig).
+Dispatch: inference/eval/bench route here via
+fields.apply_field(..., backend='pallas') (RenderConfig); TRAINING routes to
+the fused BACKWARD kernel in ops/film_mlp_grad.py via backend_for(train=True)
+(train/loop.py) — that custom-VJP pair has been the production training path
+since round 2. Configs outside supported()/supported_train() fall back to XLA.
 """
 from __future__ import annotations
 

@@ -112,7 +112,17 @@ def fold_zexp(dtable: jax.Array, grid_shape: tuple[int, ...],
         interpret=interpret,
     )(dt, sel0, sel1)
 
-    # epilogue: z/y shifts as static slice-adds, then to parameter layout
+    # epilogue: z/y shifts as static slice-adds, then to parameter layout.
+    # RAGGED-Hp INVARIANT (when hp % ytile != 0): the tail y-block reads
+    # Pallas OOB-padded input rows whose contents are UNSPECIFIED, so output
+    # rows [hp, hpad) of each Q hold garbage BY DESIGN. They are never
+    # observed: the slices below take rows [1-dy, 1-dy+h] and
+    # 1-dy+h <= h+1 = hp, so the garbage band is sliced away. If this
+    # epilogue is ever changed to read past row hp, the kernel must zero the
+    # tail instead. (Parity vs zexp_table_adjoint_xla is interpret-mode
+    # tested where padding happens to be zeros — re-verify a ragged hp
+    # on-device if the kernel is ever re-measured on hardware;
+    # scripts/profile_zexp_adjoint.py --ragged does exactly that.)
     out = None
     for dz in (0, 1):
         for dy in (0, 1):

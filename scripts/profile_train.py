@@ -125,7 +125,7 @@ def main():
         > 0, 1.0, -1.0)
 
     res = {"img": args.img, "bs": args.bs, "steps": args.steps,
-           "split": args.split, "iters": args.iters}
+           "split": args.split, "remat": args.remat, "iters": args.iters}
     for v in args.variants.split(","):
         m = meta
         ablate = None
@@ -161,8 +161,20 @@ def main():
         with open(path) as f:
             merged = json.load(f)
     # merge-update so variant families measured in separate runs accumulate
-    # into one per-stage row (same session methodology assumed)
-    merged.setdefault(f"img{args.img}_bs{args.bs}", {}).update(res)
+    # into one per-stage row. The key carries split/remat (round-5 fix:
+    # previously img/bs only, so a re-run with a different --split silently
+    # mixed methodologies in one row) and the merge refuses to mix rows
+    # whose remaining config scalars differ.
+    key = f"img{args.img}_bs{args.bs}_split{args.split}" + (
+        "_remat" if args.remat else "")
+    row = merged.setdefault(key, {})
+    for field in ("steps", "iters"):
+        if field in row and row[field] != res[field]:
+            raise SystemExit(
+                f"refusing to merge into {key}: existing row has "
+                f"{field}={row[field]}, this run {field}={res[field]} — "
+                f"delete the row or rerun with matching config")
+    row.update(res)
     with open(path, "w") as f:
         json.dump(merged, f, indent=1)
         f.write("\n")

@@ -87,6 +87,13 @@ def main():
     p.add_argument("--c", type=int, default=32)
     p.add_argument("--d", type=int, default=96)
     p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--ragged", action="store_true",
+                   help="one-off ON-DEVICE parity check of the Pallas fold "
+                        "kernel vs the XLA slice fold at a ragged hp "
+                        "(hp %% ytile != 0) — validates the documented "
+                        "garbage-band invariant (ops/zexp_fold.py epilogue) "
+                        "under real OOB padding, which interpret-mode tests "
+                        "cannot (their padding is zeros)")
     args = p.parse_args()
     c, d = args.c, args.d
     shape = (c, d, d, d)
@@ -114,6 +121,22 @@ def main():
 
     res = {"c": c, "d": d, "iters": args.iters,
            "dtable_mb": round(dt.size * 4 / 1e6)}
+
+    if args.ragged:
+        from fenerf_tpu.ops.zexp_fold import DEFAULT_YTILE
+        hp = d + 1
+        if hp % DEFAULT_YTILE == 0:
+            log(f"--ragged: hp={hp} is a multiple of ytile={DEFAULT_YTILE}; "
+                f"pick a --d with (d+1) % {DEFAULT_YTILE} != 0")
+            sys.exit(2)
+        got = np.asarray(jax.jit(lambda t: fold_zexp(t, shape))(dt))
+        want = np.asarray(
+            jax.jit(lambda t: zexp_table_adjoint_xla(t, shape))(dt))
+        diff = float(np.max(np.abs(got - want)))
+        res["ragged_hp"] = hp
+        res["ragged_parity_max_abs_diff"] = diff
+        log(f"[ragged] hp={hp} ytile={DEFAULT_YTILE} max|kernel-xla|={diff:.3e}")
+        assert diff < 1e-4, f"ragged-hp parity FAILED: {diff}"
     for name, fn in variants.items():
         # data-dependent loop keeps every iteration on-device in one
         # dispatch: each iteration writes one output element back into the
