@@ -34,7 +34,7 @@ def main(argv=None):
                         "extract_shapes.py:1-8); 'tet' = marching tetrahedra")
     p.add_argument("--shard_rays", action="store_true",
                    help="shard the voxel lattice across all visible devices "
-                        "(shard_map over the point axis; film family only)")
+                        "(shard_map over the point axis; both families)")
     p.add_argument("--iso_level", type=float, default=10.0,
                    help="sigma iso level for the mesh")
     args = p.parse_args(argv)
@@ -58,7 +58,6 @@ def main(argv=None):
     is_grid = config.get("family", "film") == "grid"
 
     if args.shard_rays:
-        assert not is_grid, "--shard_rays supports the film family only"
         from fenerf_tpu.train import sharding
         mesh = sharding.data_mesh()
         print(f"[shard_rays] lattice over {mesh.shape['data']} devices")
@@ -66,7 +65,10 @@ def main(argv=None):
         mesh = None
 
     def extract(film_geo, film_app, name, z=None):
-        if is_grid:
+        if is_grid and mesh is not None:
+            out = gen.eval_volume_grid_sharded(params, fcfg, z, pts, mesh,
+                                               chunk=args.chunk)
+        elif is_grid:
             out = gen.eval_volume_grid(params, fcfg, z, pts, chunk=args.chunk)
         elif mesh is not None:
             out = gen.eval_volume_sharded(params, fcfg, film_geo, film_app,

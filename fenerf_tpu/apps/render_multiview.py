@@ -37,8 +37,8 @@ def main(argv=None):
     p.add_argument("--shard_rays", action="store_true",
                    help="split each image's rays across all visible devices "
                         "(ray-parallel shard_map — the NeRF analogue of "
-                        "context parallelism, SURVEY.md §5); film family "
-                        "only, img_size must divide by the device count")
+                        "context parallelism, SURVEY.md §5); both families; "
+                        "img_size must divide by the device count")
     p.add_argument("--z_file", default=None,
                    help="npz with z_geo (S, d) [and z_app]: --seeds index "
                         "rows instead of seeding the RNG (render specific "
@@ -102,17 +102,35 @@ def main(argv=None):
     )
 
     if is_grid:
-        assert not args.shard_rays, (
-            "--shard_rays supports the film family only (the grid family's "
-            "per-point film has no sharded render path yet)")
         # latent-grid family: no W-space truncation (its film is per-point;
         # reference generate_avg_frequencies doesn't apply to SPATIALSIRENGRID)
-        @jax.jit
-        def render_one(params, z_geo, z_app, yaw):
-            camera = (jnp.asarray(math.pi * 0.5), yaw, jnp.asarray(args.fov))
-            out = gen.render_grid_from_z(params, fcfg, rcfg, jax.random.key(0),
-                                         z_geo, noise_std=0.0, camera=camera)
-            return out["pixels"]
+        if args.shard_rays:
+            from fenerf_tpu.train import sharding
+
+            mesh = sharding.data_mesh()
+            n_dev = mesh.shape["data"]
+            assert args.image_size % n_dev == 0, (
+                f"--shard_rays: image_size {args.image_size} not divisible "
+                f"by {n_dev} devices")
+            print(f"[shard_rays] {n_dev} devices, "
+                  f"{args.image_size // n_dev} rows/device")
+
+            @jax.jit
+            def render_one(params, z_geo, z_app, yaw):
+                camera = (jnp.asarray(math.pi * 0.5), yaw,
+                          jnp.asarray(args.fov))
+                return gen.render_grid_sharded(
+                    params, fcfg, rcfg, jax.random.key(0), z_geo, mesh,
+                    camera, noise_std=0.0)
+        else:
+            @jax.jit
+            def render_one(params, z_geo, z_app, yaw):
+                camera = (jnp.asarray(math.pi * 0.5), yaw,
+                          jnp.asarray(args.fov))
+                out = gen.render_grid_from_z(params, fcfg, rcfg,
+                                             jax.random.key(0), z_geo,
+                                             noise_std=0.0, camera=camera)
+                return out["pixels"]
     elif args.shard_rays:
         from fenerf_tpu.train import sharding
 

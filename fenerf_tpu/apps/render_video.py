@@ -35,6 +35,12 @@ def main(argv=None):
     p.add_argument("--fill_color", default="black",
                    choices=["black", "white", "grey", "light_grey"])
     p.add_argument("--fill_mode", default="eval_seg_padding_background")
+    p.add_argument("--shard_rays", action="store_true",
+                   help="split each frame's rays across all visible devices "
+                        "(ray-parallel shard_map, both families; trajectory "
+                        "frames are deterministic-camera renders so the "
+                        "sharded path serves them through one program); "
+                        "image_size must divide by the device count")
     args = p.parse_args(argv)
 
     import jax
@@ -62,6 +68,18 @@ def main(argv=None):
         backend=best_backend(fcfg),
     )
 
+    mesh = None
+    if args.shard_rays:
+        from fenerf_tpu.train import sharding
+
+        mesh = sharding.data_mesh()
+        n_dev = mesh.shape["data"]
+        assert args.image_size % n_dev == 0, (
+            f"--shard_rays: image_size {args.image_size} not divisible by "
+            f"{n_dev} devices")
+        print(f"[shard_rays] {n_dev} devices, "
+              f"{args.image_size // n_dev} rows/device")
+
     if is_grid:
         # grid family: latents interpolate in z space (no W-space truncation;
         # its film activations are per-point). 'geo'/'both' lerp z; 'app'
@@ -74,11 +92,19 @@ def main(argv=None):
             # unpacking works unchanged; app slot is unused
             return ((zg, zg), (zg, zg))
 
-        @jax.jit
-        def render_frame(params, film_geo, _film_app, camera):
-            return gen.render_grid_from_z(params, fcfg, rcfg,
-                                          jax.random.key(0), film_geo[0],
-                                          noise_std=0.0, camera=camera)
+        if mesh is not None:
+            @jax.jit
+            def render_frame(params, film_geo, _film_app, camera):
+                pixels, depth = gen.render_grid_sharded(
+                    params, fcfg, rcfg, jax.random.key(0), film_geo[0],
+                    mesh, camera, noise_std=0.0, return_depth=True)
+                return {"pixels": pixels, "depth": depth}
+        else:
+            @jax.jit
+            def render_frame(params, film_geo, _film_app, camera):
+                return gen.render_grid_from_z(params, fcfg, rcfg,
+                                              jax.random.key(0), film_geo[0],
+                                              noise_std=0.0, camera=camera)
     else:
         avg = fields.avg_film(params, fcfg, jax.random.key(42))
 
@@ -90,13 +116,22 @@ def main(argv=None):
             return (fields.truncate_film(fg, avg[0], args.psi),
                     fields.truncate_film(fa, avg[1], args.psi))
 
-        @jax.jit
-        def render_frame(params, film_geo, film_app, camera):
-            # camera (pitch, yaw, fov) is traced: one compiled program serves
-            # every frame of every trajectory
-            return gen.render(params, fcfg, rcfg, jax.random.key(0),
-                              film_geo, film_app, batch_size=1, noise_std=0.0,
-                              camera=camera)
+        if mesh is not None:
+            @jax.jit
+            def render_frame(params, film_geo, film_app, camera):
+                pixels, depth = gen.render_image_sharded(
+                    params, fcfg, rcfg, jax.random.key(0), film_geo,
+                    film_app, mesh, camera, batch_size=1, noise_std=0.0,
+                    return_depth=True)
+                return {"pixels": pixels, "depth": depth}
+        else:
+            @jax.jit
+            def render_frame(params, film_geo, film_app, camera):
+                # camera (pitch, yaw, fov) is traced: one compiled program
+                # serves every frame of every trajectory
+                return gen.render(params, fcfg, rcfg, jax.random.key(0),
+                                  film_geo, film_app, batch_size=1,
+                                  noise_std=0.0, camera=camera)
 
     traj = camera_trajectory(args.trajectory, args.num_frames,
                              base_fov=12.0)

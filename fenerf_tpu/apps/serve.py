@@ -80,8 +80,6 @@ def build_renderer(ckpt: str, image_size: int, num_steps: int,
     if use_ema:
         params = ema
     is_grid = config.get("family", "film") == "grid"
-    assert not (is_grid and shard_rays), (
-        "--shard_rays supports the film family only")
     if is_grid and fill_mode == "seg_padding_background":
         fill_mode = "eval_white_back"  # grid family is RGB-only
     steps = num_steps * ray_step_multiplier
@@ -92,7 +90,24 @@ def build_renderer(ckpt: str, image_size: int, num_steps: int,
         backend=best_backend(fcfg) if not is_grid else "xla",
     )
 
-    if is_grid:
+    if is_grid and shard_rays:
+        from fenerf_tpu.train import sharding
+
+        mesh = sharding.data_mesh()
+        n_dev = mesh.shape["data"]
+        assert image_size % n_dev == 0, (
+            f"--shard_rays: image_size {image_size} not divisible by "
+            f"{n_dev} devices")
+
+        @jax.jit
+        def render_jit(z_geo, z_app, pitch, yaw, psi):
+            camera = (math.pi * 0.5 + pitch, math.pi * 0.5 + yaw,
+                      jnp.asarray(fov))
+            pixels, depth = gen.render_grid_sharded(
+                params, fcfg, rcfg, jax.random.key(0), z_geo, mesh, camera,
+                noise_std=0.0, return_depth=True)
+            return pixels, depth
+    elif is_grid:
         @jax.jit
         def render_jit(z_geo, z_app, pitch, yaw, psi):
             camera = (math.pi * 0.5 + pitch, math.pi * 0.5 + yaw,

@@ -399,17 +399,28 @@ def render_grid_from_z(
     """Latent-grid family (SPATIALSIRENGRID): z -> StyleGenerator2D grid ->
     per-point local latents -> render. Reference ImplicitGenerator3d.forward
     with the grid SIREN (generators.py:13-431 + siren.py:437-451)."""
+    field_fn = _grid_field_fn(params, gcfg, rcfg, z)
+    return render_core(field_fn, gcfg.output_dim, rcfg, key, z.shape[0],
+                       noise_std, camera)
+
+
+def _grid_field_fn(params, gcfg, rcfg, z):
+    """Per-point field closure for the latent-grid family, with the
+    StyleGenerator2D plane hoisted OUT of the closure: under ray chunking
+    the conv stack would otherwise sit inside the lax.map body and re-run
+    per block, and under ray sharding it runs once per device (replicated —
+    the plane is (B, 32, 32, 32), trivially small next to the point work)."""
     from fenerf_tpu.nn import latent_grid_field as lgf
 
     compute_dtype = (jnp.bfloat16 if rcfg.compute_dtype == "bfloat16"
                      else jnp.float32)
+    plane = lgf.compute_plane(params, gcfg, z)
 
     def field_fn(pts, drs):
-        return lgf.apply_grid_field(params, gcfg, pts, drs, z,
+        return lgf.apply_grid_field(params, gcfg, pts, drs, z, plane=plane,
                                     compute_dtype=compute_dtype)
 
-    return render_core(field_fn, gcfg.output_dim, rcfg, key, z.shape[0],
-                       noise_std, camera)
+    return field_fn
 
 
 def render_image_sharded(
@@ -443,6 +454,39 @@ def render_image_sharded(
     moves). Requires a deterministic camera (pitch, yaw, fov); returns
     pixels (B, C, H, W), plus depth (B, H, W) when return_depth.
     """
+    field_fn = _film_field_fn(params, fcfg, rcfg, film_geo, film_app)
+    return _render_sharded_core(field_fn, fcfg.output_dim, rcfg, key, mesh,
+                                camera, batch_size, noise_std, axis,
+                                return_depth)
+
+
+def render_grid_sharded(
+    params: Params,
+    gcfg,   # latent_grid_field.GridFieldConfig
+    rcfg: RenderConfig,
+    key: jax.Array,
+    z: jax.Array,
+    mesh,
+    camera: tuple,
+    noise_std: float | jax.Array = 0.0,
+    axis: str = "data",
+    return_depth: bool = False,
+) -> jax.Array:
+    """Ray-parallel rendering for the latent-grid family (SPATIALSIRENGRID):
+    the StyleGenerator2D plane is computed replicated (it depends only on z —
+    a (B, 32, 32, 32) tensor, trivial next to the per-point work), then each
+    device shades its horizontal strip of rays exactly like the film family's
+    render_image_sharded. Same bit-identical-to-unsharded guarantee: rays and
+    every RNG draw happen outside the shard_map with render_core's key
+    structure. Reference model: siren/siren.py:413-518."""
+    field_fn = _grid_field_fn(params, gcfg, rcfg, z)
+    return _render_sharded_core(field_fn, gcfg.output_dim, rcfg, key, mesh,
+                                camera, z.shape[0], noise_std, axis,
+                                return_depth)
+
+
+def _render_sharded_core(field_fn, output_dim, rcfg, key, mesh, camera,
+                         batch_size, noise_std, axis, return_depth):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -462,12 +506,10 @@ def render_image_sharded(
     noise = draw_ray_noise(k_cnoise, k_pdf, k_fnoise,
                            batch_size, h * h, rcfg, noise_std)
 
-    field_fn = _film_field_fn(params, fcfg, rcfg, film_geo, film_app)
-
     def strip(origins, dirs, z_vals, nse):
         # each device shades its contiguous slice of the ray axis
         comp, depth, wsum = _shade_chunked(
-            field_fn, fcfg.output_dim, rcfg, origins, dirs, z_vals,
+            field_fn, output_dim, rcfg, origins, dirs, z_vals,
             nse, noise_std)
         if FILL_HOIST:
             comp = _finalize_comp(comp, wsum, rcfg)
@@ -714,11 +756,46 @@ def eval_volume_grid(
     pad = (-n) % chunk
     pts = jnp.pad(points, ((0, pad), (0, 0)))
     blocks = pts.reshape(-1, chunk, 3)
+    # StyleGenerator2D plane once, outside the chunk loop
+    plane = lgf.compute_plane(params, gcfg, z)
 
     def eval_block(p):
         d = jnp.zeros_like(p).at[..., -1].set(-1.0)
         return lgf.apply_grid_field(params, gcfg, p[None], d[None], z,
+                                    plane=plane,
                                     compute_dtype=compute_dtype)[0]
 
     out = jax.lax.map(eval_block, blocks)
     return out.reshape(-1, gcfg.output_dim)[:n]
+
+
+def eval_volume_grid_sharded(
+    params: Params,
+    gcfg,                     # latent_grid_field.GridFieldConfig
+    z: jax.Array,             # (1, z_dim)
+    points: jax.Array,        # (N, 3)
+    mesh,
+    chunk: int = 262144,
+    compute_dtype=jnp.float32,
+    axis: str = "data",
+) -> jax.Array:
+    """eval_volume_grid with the lattice sharded over the mesh — the grid
+    family's analogue of eval_volume_sharded. The latent plane replicates
+    (z-only dependence); each device evaluates a contiguous slab of points.
+    Returns (N, output_dim)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    n = points.shape[0]
+    pad = (-n) % (n_dev * chunk) if n > n_dev * chunk else (-n) % n_dev
+    pts = jnp.pad(points, ((0, pad), (0, 0)))
+    per_dev = pts.shape[0] // n_dev
+
+    def slab(p):
+        return eval_volume_grid(params, gcfg, z, p,
+                                chunk=min(chunk, per_dev),
+                                compute_dtype=compute_dtype)
+
+    fn = shard_map(slab, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis))
+    return fn(pts)[:n]

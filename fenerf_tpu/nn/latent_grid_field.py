@@ -128,6 +128,17 @@ def sample_local_latents(grid: jax.Array, warped_xyz: jax.Array) -> jax.Array:
     return jax.vmap(lambda g, c: grid_sample_2d(g, c))(grid, xz)
 
 
+def compute_plane(params: Params, cfg: GridFieldConfig,
+                  z: jax.Array) -> jax.Array:
+    """The StyleGenerator2D latent plane (B, C, H, W) for z (B, z_dim).
+
+    Per-RENDER work, not per-point work: callers on a chunked or sharded
+    path compute it once and pass it via apply_grid_field(plane=...) so the
+    StyleGAN conv stack does not re-run per ray block (and, under ray
+    sharding, runs replicated once per device instead of per chunk)."""
+    return stylegan.style_generator_2d(params["style_gen"], z)
+
+
 def apply_grid_field(
     params: Params,
     cfg: GridFieldConfig,
@@ -135,10 +146,11 @@ def apply_grid_field(
     ray_dirs: jax.Array,  # (B, N, 3)
     z: jax.Array,         # (B, z_dim)
     compute_dtype=jnp.float32,
+    plane: jax.Array | None = None,
 ) -> jax.Array:
     """-> (B, N, 4) [rgb, sigma] (siren.py:437-477)."""
     h = cfg.hidden_dim
-    grid = stylegan.style_generator_2d(params["style_gen"], z)
+    grid = plane if plane is not None else compute_plane(params, cfg, z)
     warped = points * (2.0 / cfg.box_side)
     latents = sample_local_latents(grid, warped)  # (B, N, C)
 

@@ -93,6 +93,44 @@ class TestGridRenderCLIs:
         assert np.isfinite(vol).all()
 
 
+class TestGridShardRays:
+    """--shard_rays for the latent-grid family (round-4 verdict Missing #4c):
+    same CLI bit-equality contract as the film family's TestShardRays."""
+
+    def test_multiview_shard_rays_bit_equal(self, tiny_grid_ckpt, tmp_path):
+        from fenerf_tpu.apps.render_multiview import main
+        base = ["--ckpt", tiny_grid_ckpt, "--seeds", "2", "--image_size", "16",
+                "--num_steps", "4", "--ray_step_multiplier", "2",
+                "--ray_chunk", "0"]
+        out_a, out_b = str(tmp_path / "plain"), str(tmp_path / "shard")
+        main(base + ["--output_dir", out_a])
+        main(base + ["--output_dir", out_b, "--shard_rays"])
+        a = open(os.path.join(out_a, "img_2.png"), "rb").read()
+        b = open(os.path.join(out_b, "img_2.png"), "rb").read()
+        assert a == b
+
+    def test_render_video_shard_rays(self, tiny_grid_ckpt, tmp_path):
+        from fenerf_tpu.apps.render_video import main
+        out = str(tmp_path / "videos")
+        main(["--ckpt", tiny_grid_ckpt, "--seeds", "0", "--output_dir", out,
+              "--image_size", "16", "--num_steps", "4", "--num_frames", "2",
+              "--trajectory", "front", "--latent_type", "geo",
+              "--ray_chunk", "0", "--shard_rays"])
+        assert os.path.exists(os.path.join(out, "seed0_front_geo.mp4"))
+
+    def test_extract_shapes_shard_equal(self, tiny_grid_ckpt, tmp_path):
+        from fenerf_tpu.apps.extract_shapes import main
+        from fenerf_tpu.utils.mrc import read_mrc
+        base = ["--ckpt", tiny_grid_ckpt, "--seeds", "0",
+                "--voxel_resolution", "16", "--chunk", "512"]
+        out_a, out_b = str(tmp_path / "plain"), str(tmp_path / "shard")
+        main(base + ["--output_dir", out_a])
+        main(base + ["--output_dir", out_b, "--shard_rays"])
+        a = read_mrc(os.path.join(out_a, "shape_seed0.mrc"))
+        b = read_mrc(os.path.join(out_b, "shape_seed0.mrc"))
+        np.testing.assert_allclose(a, b, atol=2e-6)
+
+
 class TestGridConvert:
     def test_reference_pickle_to_npz_render_parity(self, tmp_path):
         torch = pytest.importorskip("torch")

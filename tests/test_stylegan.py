@@ -189,3 +189,20 @@ class TestLatentGridField:
         out = lgf.apply_grid_field(params, cfg, pts, dirs, jnp.ones((1, 8)))
         assert out.shape == (1, 10, 4)
         assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_precomputed_plane_is_equivalent(self):
+        """apply_grid_field(plane=compute_plane(...)) must equal the
+        self-computing path bitwise — the hoist render_grid_from_z /
+        render_grid_sharded rely on to keep the StyleGenerator2D out of
+        ray-chunk loop bodies."""
+        cfg = lgf.GridFieldConfig(z_dim=8, hidden_dim=16, ch_max=16,
+                                  grid_res=8, grid_ch=8)
+        params = lgf.init_grid_field(jax.random.key(1), cfg)
+        rng = np.random.RandomState(3)
+        pts = jnp.asarray(rng.uniform(-0.1, 0.1, (2, 17, 3)).astype("float32"))
+        dirs = jnp.asarray(rng.randn(2, 17, 3).astype("float32"))
+        z = jnp.asarray(rng.randn(2, 8).astype("float32"))
+        plane = lgf.compute_plane(params, cfg, z)
+        a = lgf.apply_grid_field(params, cfg, pts, dirs, z)
+        b = lgf.apply_grid_field(params, cfg, pts, dirs, z, plane=plane)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
