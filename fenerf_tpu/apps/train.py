@@ -75,6 +75,14 @@ def main(argv=None):
                         "scan, keeping the exact split-structured objective "
                         "(StageMeta.full_batch) — faster wherever the "
                         "full-batch VJP fits HBM")
+    p.add_argument("--grad_rays", type=float, default=1.0,
+                   help="G-phase gradient-subset-of-rays fraction (< 1.0 "
+                        "enables; the reference's part_forward trick, "
+                        "generators.py:858-910 — all rays render forward, a "
+                        "random fraction carries gradients; the render "
+                        "backward scales ~linearly with it). OFF by default; "
+                        "see GRAD_RAYS_OVERLAY.json for training-dynamics "
+                        "evidence before enabling")
     args = p.parse_args(argv)
 
     # the ambient TPU-tunnel sitecustomize pins JAX_PLATFORMS after the
@@ -147,6 +155,8 @@ def main(argv=None):
             repl["batch_size"] = m.batch_size * n_dev
         if args.full_batch:
             repl["full_batch"] = True
+        if args.grad_rays < 1.0:
+            repl["grad_rays"] = args.grad_rays
         return dataclasses.replace(m, **repl) if repl else m
 
     meta = meta_at(0)

@@ -68,9 +68,18 @@ class RenderConfig:
     ray_chunk: int = 0        # 0 => whole image in one field eval
     compute_dtype: str = "float32"   # 'bfloat16' for the MXU fast path
     backend: str = "xla"      # 'pallas' => fused point-MLP kernel (inference)
-    remat: bool = False       # rematerialize field activations in backward —
-                              # the TPU lever replacing the reference's
-                              # part_forward grad-subset trick (SURVEY §2.3)
+    remat: bool = False       # rematerialize field activations in backward
+    grad_rays: float = 1.0    # fraction of rays whose pixels carry gradients
+                              # (< 1.0: the TPU form of the reference's
+                              # part_forward grad-subset trick,
+                              # generators.py:858-910 — ALL rays render
+                              # forward, a random per-call subset feeds the
+                              # backward; the rest are emitted under
+                              # stop_gradient, so XLA prunes their backward
+                              # AND their texture-table cotangent rows).
+                              # Training-only; pixels are identical to
+                              # grad_rays=1.0 (pure data movement around the
+                              # same per-ray math)
 
     @property
     def n_rays(self) -> int:
@@ -289,6 +298,45 @@ def _shade_chunked(field_fn, output_dim, rcfg, origins, dirs, z_vals,
         t.swapaxes(0, 1).reshape(b, r, *t.shape[3:]) for t in out)
 
 
+def _shade_grad_subset(field_fn, output_dim, rcfg, key, origins, dirs,
+                       z_vals, noise: RayNoise, noise_std):
+    """Shade with gradients restricted to a random grad_rays-fraction of the
+    rays (the reference's part_forward trick, generators.py:858-910, recast
+    for SPMD: permute the ray axis, shade the first n_grad rays on the
+    differentiable path and the rest under stop_gradient, un-permute).
+
+    Per-ray math is row-independent, so the emitted pixels equal the
+    grad_rays=1.0 render exactly (MXU accumulation is shape-stable on TPU;
+    CPU gemms may differ by last-ulp — same caveat as ray chunking). The
+    backward prunes to the grad subset: field VJP rows, hierarchical-machinery
+    transposes AND texture-table cotangent scatter rows all scale with
+    grad_rays (the 128px production stage's measured backward pools,
+    PROFILE_TRAIN.json img128 gstop/gtab).
+
+    Returns (comp, depth, weights_sum, grad_mask) with grad_mask (R,) bool in
+    ORIGINAL ray order (True = this ray's pixel carries gradients)."""
+    r = z_vals.shape[1]
+    q = rcfg.ray_chunk if (rcfg.ray_chunk and rcfg.ray_chunk < r) else 1
+    n_grad = int(round(rcfg.grad_rays * r))
+    n_grad = min(r - q, max(q, (n_grad // q) * q))  # chunk-aligned, 0<ng<r
+    perm = jax.random.permutation(key, r)
+    inv = jnp.argsort(perm)
+
+    args = jax.tree.map(lambda x: x[:, perm], (origins, dirs, z_vals, noise))
+
+    def part(a, b, stop):
+        o, d, zv, nse = jax.tree.map(lambda x: x[:, a:b], args)
+        out = _shade_chunked(field_fn, output_dim, rcfg, o, d, zv, nse,
+                             noise_std)
+        return jax.tree.map(jax.lax.stop_gradient, out) if stop else out
+
+    out_g = part(0, n_grad, stop=False)
+    out_s = part(n_grad, r, stop=True)
+    comp, depth, wsum = jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b], axis=1)[:, inv], out_g, out_s)
+    return comp, depth, wsum, inv < n_grad
+
+
 def _film_field_fn(params, fcfg, rcfg, film_geo, film_app):
     compute_dtype = (jnp.bfloat16 if rcfg.compute_dtype == "bfloat16"
                      else jnp.float32)
@@ -353,20 +401,31 @@ def render_core(
 
     noise = draw_ray_noise(k_coarse_noise, k_pdf, k_fine_noise,
                            batch_size, rcfg.n_rays, rcfg, noise_std)
-    comp, depth, weights_sum = _shade_chunked(
-        field_fn, output_dim, rcfg, tr.ray_origins, tr.ray_dirs, tr.z_vals,
-        noise, noise_std)
+    grad_mask = None
+    if rcfg.grad_rays < 1.0:
+        # extra key derived by fold_in so the 4-way split above (and hence
+        # every draw) stays bit-identical to the grad_rays=1.0 program
+        comp, depth, weights_sum, grad_mask = _shade_grad_subset(
+            field_fn, output_dim, rcfg, jax.random.fold_in(key, 0x6AD),
+            tr.ray_origins, tr.ray_dirs, tr.z_vals, noise, noise_std)
+    else:
+        comp, depth, weights_sum = _shade_chunked(
+            field_fn, output_dim, rcfg, tr.ray_origins, tr.ray_dirs,
+            tr.z_vals, noise, noise_std)
     if FILL_HOIST:
         comp = _finalize_comp(comp, weights_sum, rcfg)
 
     hw = rcfg.img_size
     pixels = comp.reshape(batch_size, hw, hw, -1).transpose(0, 3, 1, 2) * 2.0 - 1.0
-    return {
+    out = {
         "pixels": pixels,
         "depth": depth.reshape(batch_size, hw, hw),
         "opacity": weights_sum.reshape(batch_size, hw, hw),
         "position": jnp.concatenate([tr.pitch, tr.yaw], axis=-1),
     }
+    if grad_mask is not None:
+        out["grad_ray_mask"] = grad_mask.reshape(hw, hw)
+    return out
 
 
 def render(

@@ -77,6 +77,15 @@ class StageMeta:
     # for O(layers) less activation memory; the reference's batch_split is
     # the other lever)
     remat: bool = False
+    # gradient-subset-of-rays fraction for the G phase (< 1.0 enables; the
+    # reference's part_forward trick, generators.py:858-910: all rays render
+    # forward, a random fraction carries gradients). OFF by default — the
+    # shipped reference curricula never set grad_points either; see
+    # GRAD_RAYS_OVERLAY.json for the measured training-dynamics certificate
+    # before enabling on a production run. Perf: the G render backward
+    # (field VJP + table-cotangent scatter — 1469 ms of the 4041 ms 128px
+    # production step, PROFILE_TRAIN.json) scales ~linearly with this.
+    grad_rays: float = 1.0
     # DiffAugment policy applied to BOTH real and fake discriminator inputs
     # ('' = off; the reference ships diff_augment.py unwired — SURVEY §2.1)
     diff_augment_policy: str = ""

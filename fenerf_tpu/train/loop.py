@@ -318,6 +318,10 @@ def train_step(
         g_rcfg = rcfg.replace(backend=g_bk, remat=False)
     else:
         g_rcfg = rcfg
+    if meta.grad_rays < 1.0:
+        # grad-subset-of-rays applies to G's differentiable render only
+        # (the D-phase fake renders are fully stop-gradded already)
+        g_rcfg = g_rcfg.replace(grad_rays=meta.grad_rays)
 
     # ---- texture gather table: build ONCE per step ----------------------
     # Rebuilt per microbatch chunk the table build was ~45% of the whole

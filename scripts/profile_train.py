@@ -52,6 +52,10 @@ from fenerf_tpu.train import loop as looplib
 ALL_VARIANTS = ("base", "no_dimg", "no_dseg", "no_g", "no_dfakes", "no_r1",
                 "split1", "full", "flat")
 
+# gradNN: grad_rays=0.NN (grad-subset-of-rays, the part_forward analogue —
+# numerics-changing TRAINING LEVER, not an ablation: the G backward flows
+# through a random NN% of rays; see GRAD_RAYS_OVERLAY.json)
+
 # G-phase sub-cuts (train_step ablate values, see train/loop.py::_g_loss):
 #   gcrit  critics replaced by a shape-preserving stub (drops D fwd + bwd-to-
 #          input inside the G loss; render fwd+bwd + table backward kept)
@@ -140,20 +144,37 @@ def main():
         elif v == "flat":
             m = dataclasses.replace(meta, hierarchical_sample=False,
                                     num_steps=2 * args.steps)
+        elif v.startswith("grad") and v[4:].isdigit():
+            m = dataclasses.replace(meta, grad_rays=int(v[4:]) / 100.0)
         elif v in G_SUB_VARIANTS:
             ablate = v
         elif v.startswith("no_"):
             ablate = v[3:]
         log(f"[{v}]")
         state = looplib.init_train_state(jax.random.fold_in(key, 3), m)
-        ms, _ = time_step(m, state, imgs, labels, ablate, args.iters)
+        try:
+            ms, _ = time_step(m, state, imgs, labels, ablate, args.iters)
+        except Exception as e:  # e.g. RESOURCE_EXHAUSTED on a big variant
+            msg = str(e).splitlines()[0][:200]
+            res[v + "_error"] = msg
+            log(f"  FAILED: {msg}")
+            _flush(args, res)
+            continue
         res[v + "_ms"] = round(ms, 1)
         log(f"  {ms:.1f} ms/step = {args.bs / ms * 1000:.1f} imgs/s")
+        _flush(args, res)  # survive a later-variant OOM/crash
 
     if "base_ms" in res:
         res["imgs_per_s"] = round(args.bs / res["base_ms"] * 1000, 2)
+        _flush(args, res)
+    print(json.dumps(res))
+
+
+def _flush(args, res):
+    """Merge the (possibly partial) result row into PROFILE_TRAIN.json —
+    called after every variant so an OOM/crash later in the sweep cannot
+    lose measured numbers."""
     if args.dry:
-        print(json.dumps(res))
         return
     path = os.path.join(REPO, "PROFILE_TRAIN.json")
     merged = {}
@@ -178,7 +199,6 @@ def main():
     with open(path, "w") as f:
         json.dump(merged, f, indent=1)
         f.write("\n")
-    print(json.dumps(res))
 
 
 if __name__ == "__main__":

@@ -100,3 +100,72 @@ class TestActivateStack:
         pth = tmp_path / "segNet-20Class.pth"
         torch.save(net.state_dict(), pth)
         act.activate_bisenet(str(pth))
+
+    def _synth_released(self, tmp_path):
+        """Whole-module pickle + sibling ema.pth in the released layout."""
+        from reference_shim import (import_reference_generators,
+                                    import_reference_siren)
+        from test_convert_checkpoint import FakeEma
+
+        ref_siren = import_reference_siren()
+        ref_gen = import_reference_generators()
+        torch.manual_seed(0)
+        tg = ref_gen.DoubleImplicitGenerator3d(
+            lambda **kw: ref_siren.SIRENBASELINESEMANTICDISENTANGLE(
+                **{**kw, "hidden_dim": 32}),
+            8, 8, 22)
+        tg.device = torch.device("cpu")
+        tg.siren.device = torch.device("cpu")
+        tg.step = 5
+        torch.save(tg, str(tmp_path / "generator.pth"))
+        torch.save(FakeEma(tg.parameters()), str(tmp_path / "ema.pth"))
+        return str(tmp_path / "generator.pth")
+
+    def test_released_gate(self, tmp_path):
+        """The --released gate on a synthesized released-layout checkpoint:
+        convert + field parity vs the torch module + render smoke, with the
+        measured max|Δ| under the gate threshold."""
+        gen_pth = self._synth_released(tmp_path)
+        npz, delta = act.activate_released(gen_pth, str(tmp_path / "out"))
+        assert os.path.exists(npz)
+        assert delta < 2e-3
+        assert os.path.exists(
+            os.path.join(str(tmp_path / "out"), "released_mv", "img_0.png"))
+
+    def test_fid_smoke_gate(self, tmp_path):
+        """The --fid_smoke gate end to end with synthesized stand-ins:
+        random-weight InceptionV3 + a tiny film checkpoint + 4 synthetic
+        reals -> finite FID through the real feature-extractor code path."""
+        from PIL import Image
+
+        import jax
+
+        from fenerf_tpu.apps.common import save_generator
+        from fenerf_tpu.nn import fields
+
+        inc_pth = tmp_path / "pt_inception.pth"
+        torch.save(synth_inception_sd(), inc_pth)
+        inc_npz = act.activate_inception(str(inc_pth), str(tmp_path))
+
+        cfg = fields.get_config("SIRENBASELINESEMANTICDISENTANGLE",
+                                hidden_dim=16, map_hidden_dim=16,
+                                z_geo_dim=8, z_app_dim=8)
+        params = fields.init_field(jax.random.key(0), cfg)
+        ckpt = str(tmp_path / "g.npz")
+        save_generator(ckpt, params, params, params,
+                       "SIRENBASELINESEMANTICDISENTANGLE", step=1,
+                       field_kwargs=dict(hidden_dim=16, map_hidden_dim=16,
+                                         z_geo_dim=8, z_app_dim=8))
+
+        rng = np.random.RandomState(0)
+        reals = tmp_path / "reals"
+        reals.mkdir()
+        for i in range(4):
+            Image.fromarray(
+                rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+                reals / f"{i}.png")
+
+        fid = act.fid_smoke(inc_npz, ckpt, str(reals / "*.png"),
+                            str(tmp_path / "fidout"), n=4, img_size=32,
+                            num_steps=2)
+        assert np.isfinite(fid)

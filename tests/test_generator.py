@@ -182,6 +182,59 @@ class TestRenderProperties:
             np.asarray(a["opacity"]), np.asarray(b["opacity"]), atol=1e-4
         )
 
+    def test_grad_rays_pixels_identical(self):
+        """grad_rays < 1 is pure data movement around the same per-ray math:
+        emitted pixels/depth/opacity match the full-grad render (CPU gemm
+        tile rounding allowed, as for ray chunking)."""
+        _, params, fcfg = _small_models()
+        rcfg = gen.RenderConfig(img_size=16, num_steps=6, hierarchical=True)
+        zg = jnp.asarray(np.random.RandomState(4).randn(2, 8).astype(np.float32))
+        za = jnp.asarray(np.random.RandomState(5).randn(2, 8).astype(np.float32))
+        a = gen.render_from_z(params, fcfg, rcfg, jax.random.key(9), zg, za,
+                              noise_std=0.5)
+        b = gen.render_from_z(params, fcfg, rcfg.replace(grad_rays=0.5),
+                              jax.random.key(9), zg, za, noise_std=0.5)
+        for k in ("pixels", "depth", "opacity", "position"):
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       atol=1e-4, err_msg=k)
+        mask = np.asarray(b["grad_ray_mask"])
+        assert mask.shape == (16, 16) and mask.dtype == bool
+        assert 0 < mask.sum() < mask.size
+
+    def test_grad_rays_gradient_is_masked_subset(self):
+        """The grad_rays VJP equals the full render's VJP with the cotangent
+        zeroed outside the grad subset — i.e. gradients flow through exactly
+        the selected rays (reference part_forward semantics,
+        generators.py:858-910)."""
+        _, params, fcfg = _small_models()
+        rcfg = gen.RenderConfig(img_size=16, num_steps=4, hierarchical=True)
+        zg = jnp.asarray(np.random.RandomState(6).randn(1, 8).astype(np.float32))
+        za = jnp.asarray(np.random.RandomState(7).randn(1, 8).astype(np.float32))
+        key = jax.random.key(3)
+        sub = gen.render_from_z(params, fcfg, rcfg.replace(grad_rays=0.5),
+                                key, zg, za, noise_std=0.0)
+        mask = jnp.asarray(sub["grad_ray_mask"], jnp.float32)[None, None]
+
+        w = jnp.asarray(np.random.RandomState(8).randn(
+            1, 21, 16, 16).astype(np.float32))
+
+        def loss_sub(p):
+            out = gen.render_from_z(p, fcfg, rcfg.replace(grad_rays=0.5),
+                                    key, zg, za, noise_std=0.0)
+            return (out["pixels"] * w).sum()
+
+        def loss_masked_full(p):
+            out = gen.render_from_z(p, fcfg, rcfg, key, zg, za, noise_std=0.0)
+            return (out["pixels"] * w * mask).sum()
+
+        g_sub = jax.grad(loss_sub)(params)
+        g_full = jax.grad(loss_masked_full)(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_sub),
+                        jax.tree_util.tree_leaves(g_full)):
+            scale = max(float(jnp.abs(b).max()), 1.0)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5 * scale)
+
     def test_fill_hoist_equivalent(self):
         """FILL_HOIST applies fill/softmax once per image instead of inside
         every ray block; elementwise per ray, so results agree to reduction-

@@ -203,6 +203,30 @@ class TestTextureTableTrainStep:
             np.abs(old_grid - np.asarray(new_state.g_params["grid"])).sum()
         ) > 0, "grid did not update"
 
+    def test_one_step_grad_rays_texture_family(self):
+        """grad_rays=0.5 through the full texture-family train step: finite
+        losses, grid/trunk still update (gradients flow through the kept ray
+        subset AND the table fold), metrics match the full-grad shapes."""
+        meta = tiny_texture_meta(grad_rays=0.5)
+        state = looplib.init_train_state(jax.random.key(0), meta)
+        rng = np.random.RandomState(1)
+        imgs = jnp.asarray(rng.randn(4, 3, 16, 16).astype(np.float32))
+        labels = jnp.asarray(rng.randn(4, 18, 16, 16).astype(np.float32))
+        scal = looplib.StepScalars(
+            alpha=jnp.asarray(0.5), noise_std=jnp.asarray(1.0),
+            topk_frac=jnp.asarray(1.0))
+        old_grid = np.asarray(state.g_params["grid"])
+        old_trunk = np.asarray(state.g_params["trunk"][0]["w"])
+        new_state, metrics = looplib.jit_train_step(meta)(
+            state, imgs, labels, jax.random.key(1), scal)
+        for k in ("d_img_loss", "d_seg_loss", "g_loss"):
+            assert np.isfinite(float(metrics[k])), k
+        assert float(np.abs(
+            old_grid - np.asarray(new_state.g_params["grid"])).sum()) > 0
+        assert float(np.abs(
+            old_trunk - np.asarray(new_state.g_params["trunk"][0]["w"])
+        ).sum()) > 0
+
     def test_fold_composition_matches_autodiff(self):
         """The train_step composition (precompute table -> differentiate the
         G loss w.r.t. render_params -> pop the table cotangent -> hand-fold
