@@ -28,6 +28,37 @@ def _host_barrier(name: str, timeout_ms: int | None = None) -> None:
     _sh.host_barrier(name, timeout_ms)
 
 
+def _score_fid_subprocess(real_dir: str, gen_dir: str) -> float:
+    """Run eval/score_fid in a fresh subprocess so scoring lands on the
+    host's default platform (the TPU chip on a TPU host) even when THIS
+    process was pinned to CPU via FENERF_FORCE_PLATFORM/JAX_PLATFORMS —
+    enabled with FENERF_FID_SCORER=subprocess; pin the scorer's platform
+    with FENERF_FID_SCORER_PLATFORM (e.g. 'cpu' for deterministic CI)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    for k in ("FENERF_FORCE_PLATFORM", "JAX_PLATFORMS", "XLA_FLAGS"):
+        env.pop(k, None)
+    plat = os.environ.get("FENERF_FID_SCORER_PLATFORM")
+    if plat:
+        env["JAX_PLATFORMS"] = plat
+        env["FENERF_FORCE_PLATFORM"] = plat
+    r = subprocess.run(
+        [sys.executable, "-m", "fenerf_tpu.eval.score_fid",
+         "--real", real_dir, "--gen", gen_dir],
+        env=env, capture_output=True, text=True)
+    if r.returncode != 0:
+        raise FileNotFoundError(
+            f"score_fid subprocess failed rc={r.returncode}: "
+            f"{r.stderr[-500:]}")
+    line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    print(f"[eval-t] scorer_platform={res['platform']} "
+          f"scorer_s={res['score_s']}", flush=True)
+    return float(res["fid"])
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--curriculum", required=True)
@@ -388,7 +419,16 @@ def main(argv=None):
             print(f"[eval-t] output_images_s={_et2 - _et1:.1f}", flush=True)
             if host_index == 0:
                 try:
-                    fid = fidlib.calculate_fid(real_dir, gen_dir)
+                    if os.environ.get("FENERF_FID_SCORER") == "subprocess":
+                        # TPU-host scoring mode: a fresh subprocess picks up
+                        # the host's default platform (the chip), sidestepping
+                        # this process's platform pin. CPU scoring runs
+                        # ~0.44 s/image — >1 h at the protocol's 10k images,
+                        # which blows the 20-min barrier default; on-chip
+                        # scoring restores it (eval/score_fid.py).
+                        fid = _score_fid_subprocess(real_dir, gen_dir)
+                    else:
+                        fid = fidlib.calculate_fid(real_dir, gen_dir)
                     with open(os.path.join(args.output_dir, "fid.txt"),
                               "a") as f:
                         f.write(f"\n{step}:{fid}")

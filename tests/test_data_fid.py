@@ -295,3 +295,11 @@ class TestInceptionArch:
                              gen_dir, num_eval=3, batch_size=3)
         fid = fidlib.calculate_fid(real_dir, gen_dir)
         assert np.isfinite(fid) and fid >= 0
+
+        # the subprocess scorer (TPU-host scoring mode, FENERF_FID_SCORER=
+        # subprocess in the trainer) computes the same FID through
+        # eval/score_fid in a fresh process (pinned to CPU here)
+        monkeypatch.setenv("FENERF_FID_SCORER_PLATFORM", "cpu")
+        from fenerf_tpu.apps.train import _score_fid_subprocess
+        fid_sub = _score_fid_subprocess(real_dir, gen_dir)
+        np.testing.assert_allclose(fid_sub, fid, rtol=1e-4)
