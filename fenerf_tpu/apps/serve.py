@@ -67,8 +67,21 @@ go();
 def build_renderer(ckpt: str, image_size: int, num_steps: int,
                    ray_step_multiplier: int, fov: float, fill_mode: str,
                    fill_color: str, ray_chunk: int, use_ema: bool,
-                   shard_rays: bool = False):
-    """-> (render_np(seed, yaw, pitch, psi) -> (C,H,W) float array, meta)."""
+                   shard_rays: bool = False, batch: int = 1,
+                   batch_wait_ms: float = 5.0):
+    """-> (render_np(seed, yaw, pitch, psi) -> (C,H,W) float array, meta).
+
+    batch > 1 enables MICRO-BATCHED serving: concurrent requests are queued
+    and rendered together through ONE compiled batch-shaped program (padded
+    to `batch`), so the per-dispatch latency (~9-30 ms on the tunneled
+    runtime) and the per-program fixed cost amortize across requests — the
+    measured chip rate (~450K rays/s) supports ~27 128² frames/s but batch-1
+    serving is dispatch-bound (PROFILE_SERVE.json). Cameras/psis are
+    per-request: the render path takes (B,1) pitch/yaw/psi arrays.
+    Caveat: batched renders are not bit-reproducible across batch
+    compositions (the stratified-jitter / importance-sampling draws are
+    batch-shaped, so a request's noise depends on its row); batch=1 keeps
+    the strict same-request-same-pixels property the tests pin."""
     import jax
     import jax.numpy as jnp
 
@@ -89,6 +102,40 @@ def build_renderer(ckpt: str, image_size: int, num_steps: int,
         ray_chunk=ray_chunk, compute_dtype="bfloat16",
         backend=best_backend(fcfg) if not is_grid else "xla",
     )
+
+    if batch > 1:
+        assert not shard_rays, "--batch and --shard_rays are exclusive"
+        if is_grid:
+            @jax.jit
+            def render_many(z_geo, z_app, pitch, yaw, psi):
+                camera = (math.pi * 0.5 + pitch, math.pi * 0.5 + yaw,
+                          jnp.asarray(fov))
+                out = gen.render_grid_from_z(params, fcfg, rcfg,
+                                             jax.random.key(0), z_geo,
+                                             noise_std=0.0, camera=camera)
+                return out["pixels"], out["depth"]
+        else:
+            avg = fields.avg_film(params, fcfg, jax.random.key(42))
+
+            @jax.jit
+            def render_many(z_geo, z_app, pitch, yaw, psi):
+                camera = (math.pi * 0.5 + pitch, math.pi * 0.5 + yaw,
+                          jnp.asarray(fov))
+                fg, fa = fields.field_film(params, fcfg, z_geo, z_app)
+                fg = fields.truncate_film(fg, avg[0], psi)
+                fa = fields.truncate_film(fa, avg[1], psi)
+                out = gen.render(params, fcfg, rcfg, jax.random.key(0),
+                                 fg, fa, batch_size=batch,
+                                 noise_std=0.0, camera=camera)
+                return out["pixels"], out["depth"]
+
+        render_np = _make_batcher(render_many, fcfg, batch, batch_wait_ms)
+        meta = {"model": config.get("model"), "family": config.get("family"),
+                "step": config.get("step"), "image_size": image_size,
+                "num_steps": steps,
+                "n_labels": int(getattr(fcfg, "n_labels", 0) or 0),
+                "ema": bool(use_ema), "batch": batch}
+        return render_np, meta
 
     if is_grid and shard_rays:
         from fenerf_tpu.train import sharding
@@ -169,6 +216,66 @@ def build_renderer(ckpt: str, image_size: int, num_steps: int,
     return render_np, meta
 
 
+def _make_batcher(render_many, fcfg, batch: int, wait_ms: float):
+    """Micro-batching collector: requests enqueue; a dispatcher thread drains
+    up to `batch` of them (waiting at most wait_ms for stragglers after the
+    first), pads to the fixed compiled batch shape by repeating row 0, and
+    renders them in ONE dispatch. Returns render_np(seed, yaw, pitch, psi)
+    with the single-render signature (it blocks until its row is ready), so
+    the HTTP handler code is batching-agnostic."""
+    import queue
+
+    import jax
+
+    q: "queue.Queue" = queue.Queue()
+
+    def worker():
+        while True:
+            items = [q.get()]
+            deadline = time.perf_counter() + wait_ms / 1e3
+            while len(items) < batch:
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    break
+                try:
+                    items.append(q.get(timeout=left))
+                except queue.Empty:
+                    break
+            n = len(items)
+            zg = np.zeros((batch, fcfg.z_geo_dim), np.float32)
+            za = np.zeros((batch, fcfg.z_app_dim), np.float32)
+            cam = np.zeros((batch, 3), np.float32)  # pitch, yaw, psi
+            for i, (req, _slot) in enumerate(items):
+                zg[i], za[i], cam[i] = req
+            zg[n:], za[n:], cam[n:] = zg[0], za[0], cam[0]  # pad
+            try:
+                pix, depth = render_many(
+                    zg, za, cam[:, 0:1], cam[:, 1:2], cam[:, 2:3])
+                pix, depth = np.asarray(pix), np.asarray(depth)
+                for i, (_req, slot) in enumerate(items):
+                    slot["out"] = (pix[i], depth[i])
+                    slot["event"].set()
+            except Exception as e:  # deliver the failure, don't wedge callers
+                for _req, slot in items:
+                    slot["error"] = e
+                    slot["event"].set()
+
+    threading.Thread(target=worker, daemon=True).start()
+
+    def render_np(seed: int, yaw: float, pitch: float, psi: float):
+        kg, ka = jax.random.split(jax.random.key(int(seed)))
+        zg = np.asarray(jax.random.normal(kg, (fcfg.z_geo_dim,)), np.float32)
+        za = np.asarray(jax.random.normal(ka, (fcfg.z_app_dim,)), np.float32)
+        slot = {"event": threading.Event()}
+        q.put(((zg, za, np.asarray([pitch, yaw, psi], np.float32)), slot))
+        slot["event"].wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["out"]
+
+    return render_np
+
+
 def _encode_png(arr_u8_hw3: np.ndarray) -> bytes:
     from PIL import Image
 
@@ -180,7 +287,15 @@ def _encode_png(arr_u8_hw3: np.ndarray) -> bytes:
 def make_server(render_np, meta, port: int = 8798, host: str = "127.0.0.1"):
     from fenerf_tpu.utils.image import depth_to_jet, mask2color, to_uint8
 
-    lock = threading.Lock()  # one TPU grant -> serialize device work
+    if meta.get("batch", 1) > 1:
+        # batched mode: the _make_batcher worker owns ALL device work, so
+        # handlers must run concurrently (a handler-side lock would feed the
+        # batcher one request at a time and defeat the batching)
+        import contextlib
+
+        lock = contextlib.nullcontext()
+    else:
+        lock = threading.Lock()  # one TPU grant -> serialize device work
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -257,13 +372,22 @@ def main(argv=None):
     p.add_argument("--no_ema", dest="use_ema", action="store_false")
     p.add_argument("--shard_rays", action="store_true",
                    help="split each render's rays across all visible "
-                        "devices (film family only)")
+                        "devices (both families)")
+    p.add_argument("--batch", type=int, default=1,
+                   help="micro-batch size: >1 renders queued concurrent "
+                        "requests through one compiled batch-shaped program "
+                        "(per-request camera/psi); amortizes the ~9-30 ms "
+                        "per-dispatch latency that dominates batch-1 serving")
+    p.add_argument("--batch_wait_ms", type=float, default=5.0,
+                   help="how long the batcher waits for stragglers after "
+                        "the first queued request")
     args = p.parse_args(argv)
 
     render_np, meta = build_renderer(
         args.ckpt, args.image_size, args.num_steps, args.ray_step_multiplier,
         args.fov, args.fill_mode, args.fill_color, args.ray_chunk,
-        args.use_ema, shard_rays=args.shard_rays)
+        args.use_ema, shard_rays=args.shard_rays, batch=args.batch,
+        batch_wait_ms=args.batch_wait_ms)
     t0 = time.perf_counter()
     render_np(0, 0.0, 0.0, 0.7)  # compile + warm before accepting traffic
     print(f"warmed in {time.perf_counter() - t0:.1f}s "

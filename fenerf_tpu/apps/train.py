@@ -38,8 +38,13 @@ def _score_fid_subprocess(real_dir: str, gen_dir: str) -> float:
     import sys
 
     env = dict(os.environ)
-    for k in ("FENERF_FORCE_PLATFORM", "JAX_PLATFORMS", "XLA_FLAGS"):
-        env.pop(k, None)
+    # strip only the CPU pins a rehearsal/trainer adds — NOT the host's
+    # ambient platform selection (e.g. the tunnel's JAX_PLATFORMS=axon,
+    # which is how the chip is addressed on this host)
+    env.pop("FENERF_FORCE_PLATFORM", None)
+    env.pop("XLA_FLAGS", None)
+    if env.get("JAX_PLATFORMS") == "cpu":
+        env.pop("JAX_PLATFORMS")
     plat = os.environ.get("FENERF_FID_SCORER_PLATFORM")
     if plat:
         env["JAX_PLATFORMS"] = plat
@@ -355,6 +360,15 @@ def main(argv=None):
             t_last = time.time()
             rate = args.log_every * m.batch_size / dt if step else 0.0
             line = {"step": step, "imgs_per_sec": round(rate, 2), **mvals}
+            try:
+                # best-effort device-memory telemetry (PJRT memory_stats is
+                # absent on some platforms, e.g. the tunneled runtime)
+                ms = jax.local_devices()[0].memory_stats()
+                if ms and "peak_bytes_in_use" in ms:
+                    line["peak_hbm_gb"] = round(
+                        ms["peak_bytes_in_use"] / 2 ** 30, 2)
+            except Exception:
+                pass
             print(json.dumps(line))
             metrics_log.write(json.dumps(line) + "\n")
             metrics_log.flush()

@@ -83,7 +83,10 @@ def run_arm(name: str, data_root: str, out_root: str, steps: int,
            "--log_every", "10", "--seed", str(seed),
            "--grad_rays", str(grad_rays)]
     log(f"[{name}] {' '.join(cmd)}")
-    env = dict(os.environ, PYTHONPATH=REPO)
+    # APPEND to PYTHONPATH — the TPU tunnel's sitecustomize lives on it
+    # (replacing it orphans JAX_PLATFORMS=axon and the backend init dies)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     r = subprocess.run(cmd, env=env, capture_output=True, text=True)
     sys.stderr.write(r.stdout[-2000:] + r.stderr[-2000:])
     assert r.returncode == 0, f"{name} failed"
