@@ -200,10 +200,12 @@ def build_renderer(ckpt: str, image_size: int, num_steps: int,
             return out["pixels"], out["depth"]
 
     def render_np(seed: int, yaw: float, pitch: float, psi: float):
-        kg, ka = jax.random.split(jax.random.key(seed))
-        z_geo = jax.random.normal(kg, (1, fcfg.z_geo_dim))
-        z_app = jax.random.normal(ka, (1, fcfg.z_app_dim))
-        pix, depth = render_jit(z_geo, z_app, jnp.asarray(float(pitch)),
+        # host-side z draws (numpy): a jax.random draw here is a device
+        # dispatch, and the ~9-30 ms tunnel latency per dispatch stacks up
+        # under concurrent serving (2 draws/request serialized on the chip)
+        zg, za = _seed_latents(seed, fcfg)
+        pix, depth = render_jit(zg[None], za[None],
+                                jnp.asarray(float(pitch)),
                                 jnp.asarray(float(yaw)),
                                 jnp.asarray(float(psi)))
         return np.asarray(pix[0]), np.asarray(depth[0])
@@ -216,6 +218,15 @@ def build_renderer(ckpt: str, image_size: int, num_steps: int,
     return render_np, meta
 
 
+def _seed_latents(seed: int, fcfg):
+    """Deterministic per-seed latents, drawn on the HOST (numpy) — device
+    RNG draws cost a tunnel dispatch each and serialize against renders."""
+    rng = np.random.default_rng(int(seed))
+    zg = rng.standard_normal(fcfg.z_geo_dim).astype(np.float32)
+    za = rng.standard_normal(fcfg.z_app_dim).astype(np.float32)
+    return zg, za
+
+
 def _make_batcher(render_many, fcfg, batch: int, wait_ms: float):
     """Micro-batching collector: requests enqueue; a dispatcher thread drains
     up to `batch` of them (waiting at most wait_ms for stragglers after the
@@ -224,8 +235,6 @@ def _make_batcher(render_many, fcfg, batch: int, wait_ms: float):
     with the single-render signature (it blocks until its row is ready), so
     the HTTP handler code is batching-agnostic."""
     import queue
-
-    import jax
 
     q: "queue.Queue" = queue.Queue()
 
@@ -263,9 +272,7 @@ def _make_batcher(render_many, fcfg, batch: int, wait_ms: float):
     threading.Thread(target=worker, daemon=True).start()
 
     def render_np(seed: int, yaw: float, pitch: float, psi: float):
-        kg, ka = jax.random.split(jax.random.key(int(seed)))
-        zg = np.asarray(jax.random.normal(kg, (fcfg.z_geo_dim,)), np.float32)
-        za = np.asarray(jax.random.normal(ka, (fcfg.z_app_dim,)), np.float32)
+        zg, za = _seed_latents(seed, fcfg)
         slot = {"event": threading.Event()}
         q.put(((zg, za, np.asarray([pitch, yaw, psi], np.float32)), slot))
         slot["event"].wait()

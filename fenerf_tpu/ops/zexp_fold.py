@@ -79,7 +79,14 @@ def fold_zexp(dtable: jax.Array, grid_shape: tuple[int, ...],
         acc = None
         for dx, s_ref in ((0, s0_ref), (1, s1_ref)):
             x = blk[0, :, 1 - dx:1 - dx + w, :].reshape(yt * w, 8 * c)
-            r = jnp.dot(x, s_ref[...], preferred_element_type=jnp.float32)
+            # HIGHEST precision: the default TPU f32 matmul rounds inputs
+            # to bf16 for one MXU pass, which silently bf16-rounds the
+            # GRADIENT this kernel folds (~1e-2 abs error at O(1) scale —
+            # caught by the round-5 on-device ragged parity check;
+            # interpret-mode parity is exact f32 and cannot see it). The
+            # selector is one-hot, so HIGHEST makes the routing exact.
+            r = jnp.dot(x, s_ref[...], preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
             acc = r if acc is None else acc + r
         r4 = acc.reshape(1, yt, w, 4 * c)
         for g in range(4):

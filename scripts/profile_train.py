@@ -129,7 +129,8 @@ def main():
         > 0, 1.0, -1.0)
 
     res = {"img": args.img, "bs": args.bs, "steps": args.steps,
-           "split": args.split, "remat": args.remat, "iters": args.iters}
+           "split": args.split, "remat": args.remat, "iters": args.iters,
+           "curriculum": args.curriculum}
     for v in args.variants.split(","):
         m = meta
         ablate = None
@@ -188,6 +189,9 @@ def _flush(args, res):
     # whose remaining config scalars differ.
     key = f"img{args.img}_bs{args.bs}_split{args.split}" + (
         "_remat" if args.remat else "")
+    if args.curriculum != \
+            "CelebA_double_semantic_texture_embedding_256_dim_96":
+        key = f"{args.curriculum}_{key}"
     row = merged.setdefault(key, {})
     for field in ("steps", "iters"):
         if field in row and row[field] != res[field]:
