@@ -309,7 +309,14 @@ CURRICULA: dict[str, TrainConfig] = {
 CURRICULA["CelebA_latent_grid"] = TrainConfig(
     name="CelebA_latent_grid",
     stages=(
-        (0, dict(batch_size=48, num_steps=12, img_size=64, batch_split=2,
+        # batch_split 16 (not the CelebA recipe's 2): the grid family's
+        # per-POINT film tensor is (B_micro, N, 9*h*2) — at 64px/12 steps a
+        # micro-batch of 24 materializes 10.9 GB for it, which fails to
+        # compile on one v5e; micro-batch 3 (split 16) compiles and runs at
+        # 17.1 imgs/s/chip (PROFILE_TRAIN.json CelebA_latent_grid rows,
+        # measured at the equivalent bs12/split4). batch_size stays the
+        # reference CelebA recipe's per-rank 48.
+        (0, dict(batch_size=48, num_steps=12, img_size=64, batch_split=16,
                  gen_lr=6e-5, disc_img_lr=2e-4, disc_seg_lr=2e-4)),
     ),
     end_step=200_000,
