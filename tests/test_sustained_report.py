@@ -1,0 +1,85 @@
+"""scripts/sustained_report.py — parse a production-stage run log into the
+SUSTAINED128.json artifact (VERDICT round-4 item 3's record of the sustained
+128px run; reference stage: curriculums.py:132-136)."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _write_fake_run(tmp_path, diverge=False):
+    log = tmp_path / "run.log"
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    lines = [
+        "WARNING: platform 'axon' is experimental",
+        "[stage] step=49400 img=64 bs=48 steps/ray=24 split=4 "
+        "kernel=pallas_train(G)+pallas(D)",
+    ]
+
+    def metric(step, rate, opacity=0.5):
+        return json.dumps({
+            "step": step, "imgs_per_sec": rate, "fake_opacity": opacity,
+            "g_loss": 20.0 + 0.01 * (step % 7), "d_loss": 1.5,
+            "g_img_loss": 18.0, "d_img_loss": 1.0,
+            "g_seg_loss": 2.0, "d_seg_loss": 0.5})
+
+    # prelude: first line carries the 64px compile, then steady ~22
+    lines.append(metric(49400, 2.6))
+    for s in range(49410, 50000, 10):
+        lines.append(metric(s, 22.0 + (s % 3) * 0.1))
+    lines.append("[stage] step=50000 img=128 bs=24 steps/ray=24 split=4 "
+                 "kernel=pallas_train(G)+pallas(D)")
+    # crossing line folds the 128px compile into its dt
+    lines.append(metric(50000, 0.54))
+    for s in range(50010, 50500, 10):
+        lines.append(metric(s, 5.85 + (s % 2) * 0.04))
+    if diverge:
+        lines.append("non-finite metrics ['g_loss'] at step 50500; state "
+                     "saved to train_state_diverged.npz")
+    log.write_text("\n".join(lines) + "\n")
+    (run_dir / "50000_img_fixed.png").write_bytes(b"png")
+    (run_dir / "generator.npz").write_bytes(b"npz")
+    (run_dir / "train_state.npz").write_bytes(b"npz")
+    return log, run_dir
+
+
+def _run(log, run_dir, out):
+    return subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "sustained_report.py"),
+         "--log", str(log), "--run_dir", str(run_dir), "--out", str(out)],
+        capture_output=True, text=True)
+
+
+def test_report_shape_and_rates(tmp_path):
+    log, run_dir = _write_fake_run(tmp_path)
+    out = tmp_path / "S.json"
+    proc = _run(log, run_dir, out)
+    assert proc.returncode == 0, proc.stderr
+    rep = json.loads(out.read_text())
+
+    # compile-contaminated first lines excluded from the sustained stats
+    assert rep["prelude_64px"]["imgs_per_sec_min"] >= 21.9
+    assert 5.8 <= rep["stage_128px"]["imgs_per_sec_median"] <= 5.95
+    # ... but witnessed in the crossing record (dt = 10*24/0.54 s)
+    assert rep["crossing"]["first_line_dt_s"] > 400
+    assert rep["vs_4iter_profile"]["ratio"] > 0.9
+
+    assert [s["img"] for s in rep["stages_seen"]] == [64, 128]
+    assert rep["stability"]["nonfinite_values"] == 0
+    assert rep["stability"]["watchdog_fired"] is False
+    assert "50000_img_fixed.png" in rep["artifacts"]["sample_grids"]
+    assert "train_state.npz" in rep["artifacts"]["checkpoints"]
+
+
+def test_report_flags_divergence(tmp_path):
+    log, run_dir = _write_fake_run(tmp_path, diverge=True)
+    out = tmp_path / "S.json"
+    proc = _run(log, run_dir, out)
+    assert proc.returncode == 1
+    rep = json.loads(out.read_text())
+    assert rep["stability"]["watchdog_fired"] is True
+    assert rep["errors"]
