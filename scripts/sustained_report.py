@@ -9,16 +9,23 @@ grids / checkpoints / divergence watchdog live, and a record of sustained
 imgs/s (vs the 4-iter profile number), stability of fake_opacity and the
 losses across the transition, and HBM behavior.
 
-This script parses the run's stdout log (one JSON metrics line per
---log_every steps, plus "[stage] ..." transition lines printed by
-fenerf_tpu/apps/train.py) and the output directory, and writes the
-artifact the ledger cites. It does NOT touch the device, so it can run
-while the trainer owns the chip.
+This script parses the run's stdout log(s) (one JSON metrics line per
+--log_every steps, plus "[stage] ..." transition and "resumed from ..."
+lines printed by fenerf_tpu/apps/train.py) and the output directory, and
+writes the artifact the ledger cites. It does NOT touch the device, so it
+can run while the trainer owns the chip.
+
+Pass --log more than once (in chronological order) when the run was
+resumed from a checkpoint mid-way: steps re-trained after a resume are
+deduped (the resumed lineage — the one that produced the final checkpoint
+— wins), and each restart is recorded in the artifact as a
+checkpoint/resume witness, including how many steps the dead process had
+trained beyond the checkpoint it was resumed from.
 
 Usage:
   python scripts/sustained_report.py \
-      --log output/sustained128.log --run_dir output/sustained128 \
-      --boundary 50000 --out SUSTAINED128.json
+      --log output/sustained128.log --log output/sustained128_resume.log \
+      --run_dir output/sustained128 --boundary 50000 --out SUSTAINED128.json
 """
 
 import argparse
@@ -29,41 +36,93 @@ import re
 import statistics
 
 
+STAGE_RE = re.compile(
+    r"\[stage\] step=(\d+) img=(\d+) bs=(\d+) steps/ray=(\d+) "
+    r"split=(\d+) kernel=(\S+)")
+RESUME_RE = re.compile(r"resumed from (\S+) at step (\d+)")
+
+
 def parse_log(path):
+    """One process's stdout -> (stages, metrics, errors, resume_step).
+
+    `contaminated` marks metric lines whose logged rate folds AOT compile
+    (+ host barrier) into its dt: the process's first line, and the first
+    line after any in-process stage transition (apps/train.py logs
+    rate = log_every*bs/dt since the previous line).
+    """
     stages, metrics, errors = [], [], []
-    stage_re = re.compile(
-        r"\[stage\] step=(\d+) img=(\d+) bs=(\d+) steps/ray=(\d+) "
-        r"split=(\d+) kernel=(\S+)")
+    resume_step = None
+    fresh_program = True  # next metric line folds a compile into its dt
     with open(path) as f:
         for line in f:
             line = line.strip()
-            m = stage_re.match(line)
+            m = STAGE_RE.match(line)
             if m:
                 stages.append({
                     "step": int(m.group(1)), "img": int(m.group(2)),
                     "bs": int(m.group(3)), "steps_per_ray": int(m.group(4)),
                     "split": int(m.group(5)), "kernel": m.group(6)})
+                fresh_program = True
+                continue
+            m = RESUME_RE.search(line)
+            if m:
+                resume_step = int(m.group(2))
                 continue
             if line.startswith("{"):
                 try:
-                    metrics.append(json.loads(line))
+                    row = json.loads(line)
                 except json.JSONDecodeError:
-                    pass
+                    continue
+                row["_contaminated"] = fresh_program
+                fresh_program = False
+                metrics.append(row)
                 continue
             if "non-finite metrics" in line or "Traceback" in line:
                 errors.append(line)
-    return stages, metrics, errors
+    return stages, metrics, errors, resume_step
 
 
-def summarize_rates(rows, skip_first=1):
-    """Sustained imgs/s over a stage, skipping compile-contaminated lines.
+def merge_logs(parsed):
+    """Chronological per-process parses -> one deduped step history.
 
-    The first logged line of a stage folds AOT compile + host barrier into
-    its dt (apps/train.py logs rate = log_every*bs/dt since the previous
-    line), so it is excluded from the sustained statistic but kept as the
-    crossing-cost witness.
+    At each step the LAST process to train it wins (that is the lineage
+    the final checkpoint descends from); the overridden tail of a dead
+    process is recorded as a restart witness, not silently dropped.
     """
-    rates = [r["imgs_per_sec"] for r in rows][skip_first:]
+    by_step = {}
+    stages, errors, restarts = [], [], []
+    prev_last = None
+    for i, (path, (st, mets, errs, resume_step)) in enumerate(parsed):
+        if i > 0:
+            restarts.append({
+                "log": os.path.basename(path),
+                "resumed_from_step": resume_step,
+                "dead_process_last_step": prev_last,
+                "steps_retrained": (
+                    None if resume_step is None or prev_last is None
+                    else max(0, prev_last - resume_step)),
+                "note": ("previous process ended without a traceback in its "
+                         "log (external termination); training resumed from "
+                         "the last periodic checkpoint"),
+            })
+        for s in st:
+            if not any(x["step"] == s["step"] and x["img"] == s["img"]
+                       for x in stages):
+                stages.append(s)
+        for row in mets:
+            by_step[row["step"]] = row
+        errors.extend(errs)
+        if mets:
+            prev_last = mets[-1]["step"]
+    merged = [by_step[k] for k in sorted(by_step)]
+    stages.sort(key=lambda s: s["step"])
+    return stages, merged, errors, restarts
+
+
+def summarize_rates(rows):
+    """Sustained imgs/s over a stage, skipping compile-contaminated lines
+    (marked by parse_log; kept in the history as crossing witnesses)."""
+    rates = [r["imgs_per_sec"] for r in rows if not r.get("_contaminated")]
     if not rates:
         return None
     return {
@@ -88,7 +147,9 @@ def metric_window(rows, keys):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--log", default="output/sustained128.log")
+    ap.add_argument("--log", action="append", default=None,
+                    help="trainer stdout log; repeat in chronological order "
+                         "if the run was resumed across processes")
     ap.add_argument("--run_dir", default="output/sustained128")
     ap.add_argument("--boundary", type=int, default=50000,
                     help="curriculum 64->128 crossing step")
@@ -96,35 +157,45 @@ def main():
                     help="the 4-iter PROFILE_TRAIN img128 number to compare")
     ap.add_argument("--out", default="SUSTAINED128.json")
     args = ap.parse_args()
+    logs = args.log or ["output/sustained128.log"]
 
-    stages, metrics, errors = parse_log(args.log)
+    parsed = [(p, parse_log(p)) for p in logs]
+    stages, metrics, errors, restarts = merge_logs(parsed)
     pre = [r for r in metrics if r["step"] < args.boundary]
     post = [r for r in metrics if r["step"] >= args.boundary]
 
     nonfinite = sum(
-        1 for r in metrics for v in r.values()
-        if isinstance(v, float) and not math.isfinite(v))
+        1 for r in metrics for k, v in r.items()
+        if k != "_contaminated" and isinstance(v, float)
+        and not math.isfinite(v))
 
-    # crossing cost: the first 128px line's dt (compile + barrier + the
-    # logged steps themselves)
+    # crossing cost: the first 128px line's dt in the process that crossed
+    # the boundary mid-log (compile + barrier + the logged steps themselves)
     crossing = None
-    if post:
-        first = post[0]
-        bs = next((s["bs"] for s in stages if s["step"] >= args.boundary), 24)
+    for path, (st, mets, _e, _r) in parsed:
+        ppre = [r for r in mets if r["step"] < args.boundary]
+        ppost = [r for r in mets if r["step"] >= args.boundary]
+        if not (ppre and ppost):
+            continue
+        first = ppost[0]
+        bs = next((s["bs"] for s in st if s["step"] >= args.boundary), 24)
         if first["imgs_per_sec"] > 0:
             dt = 10 * bs / first["imgs_per_sec"]
             crossing = {"first_line_step": first["step"],
                         "first_line_dt_s": round(dt, 1),
+                        "log": os.path.basename(path),
                         "note": "includes 128px AOT compile + stage barrier"}
+        break
 
     # loss stability across the transition: last 20 logged 64px lines vs
-    # the first 20 steady 128px lines (skipping the compile line)
+    # the first 20 steady 128px lines (skipping compile-contaminated lines)
     keys = ["fake_opacity", "g_loss", "d_loss", "g_img_loss", "d_img_loss",
             "g_seg_loss", "d_seg_loss"]
+    post_steady = [r for r in post if not r.get("_contaminated")]
     stability = {
         "pre_64px_last20": metric_window(pre[-20:], keys),
-        "post_128px_first20": metric_window(post[1:21], keys),
-        "post_128px_last20": metric_window(post[-20:], keys),
+        "post_128px_first20": metric_window(post_steady[:20], keys),
+        "post_128px_last20": metric_window(post_steady[-20:], keys),
         "nonfinite_values": nonfinite,
         "watchdog_fired": any("non-finite metrics" in e for e in errors),
     }
@@ -145,6 +216,8 @@ def main():
                  "(bs24/split4/remat), flagship double-semantic curriculum, "
                  "1 v5e chip via the tunnel"),
         "reference_stage": "curriculums.py:132-136 (@50k: img 128, bs 24)",
+        "logs": [os.path.basename(p) for p in logs],
+        "restarts": restarts,
         "stages_seen": stages,
         "steps_logged": {"total": len(metrics),
                          "pre_64px": len(pre), "post_128px": len(post)},
@@ -171,9 +244,9 @@ def main():
         json.dump(report, f, indent=1)
     print(json.dumps({k: report[k] for k in
                       ("prelude_64px", "crossing", "stage_128px",
-                       "vs_4iter_profile")}, indent=1))
+                       "vs_4iter_profile", "restarts")}, indent=1))
     ok = (not stability["watchdog_fired"] and nonfinite == 0
-          and len(post) > 1)
+          and len(post_steady) > 0)
     print("OK" if ok else "PROBLEMS FOUND — read the artifact")
     return 0 if ok else 1
 

@@ -47,11 +47,14 @@ def _write_fake_run(tmp_path, diverge=False):
     return log, run_dir
 
 
-def _run(log, run_dir, out):
-    return subprocess.run(
-        [sys.executable, str(REPO / "scripts" / "sustained_report.py"),
-         "--log", str(log), "--run_dir", str(run_dir), "--out", str(out)],
-        capture_output=True, text=True)
+def _run(logs, run_dir, out):
+    if not isinstance(logs, (list, tuple)):
+        logs = [logs]
+    cmd = [sys.executable, str(REPO / "scripts" / "sustained_report.py"),
+           "--run_dir", str(run_dir), "--out", str(out)]
+    for log in logs:
+        cmd += ["--log", str(log)]
+    return subprocess.run(cmd, capture_output=True, text=True)
 
 
 def test_report_shape_and_rates(tmp_path):
@@ -83,3 +86,49 @@ def test_report_flags_divergence(tmp_path):
     rep = json.loads(out.read_text())
     assert rep["stability"]["watchdog_fired"] is True
     assert rep["errors"]
+
+
+def test_report_merges_resumed_logs(tmp_path):
+    """A run whose first process died silently mid-stage and was resumed
+    from the last checkpoint (two stdout logs): steps re-trained after the
+    resume are deduped in favor of the resumed lineage, the restart is
+    recorded as a checkpoint/resume witness, and both processes'
+    compile-contaminated first lines stay out of the sustained statistic."""
+    log1, run_dir = _write_fake_run(tmp_path)  # dies after step 50490
+
+    def metric(step, rate):
+        return json.dumps({
+            "step": step, "imgs_per_sec": rate, "fake_opacity": 0.5,
+            "g_loss": 20.0, "d_loss": 1.5, "g_img_loss": 18.0,
+            "d_img_loss": 1.0, "g_seg_loss": 2.0, "d_seg_loss": 0.5})
+
+    lines = [
+        "WARNING: platform 'axon' is experimental",
+        "resumed from run/train_state.npz at step 50000",
+        "[stage] step=50000 img=128 bs=24 steps/ray=24 split=4 "
+        "kernel=pallas_train(G)+pallas(D)",
+        metric(50000, 8.3),  # first line of the new process: compile in dt
+    ]
+    for s in range(50010, 50800, 10):
+        lines.append(metric(s, 5.7))
+    log2 = tmp_path / "resume.log"
+    log2.write_text("\n".join(lines) + "\n")
+
+    out = tmp_path / "S.json"
+    proc = _run([log1, log2], run_dir, out)
+    assert proc.returncode == 0, proc.stderr
+    rep = json.loads(out.read_text())
+
+    assert rep["restarts"] == [{
+        "log": "resume.log", "resumed_from_step": 50000,
+        "dead_process_last_step": 50490, "steps_retrained": 490,
+        "note": rep["restarts"][0]["note"]}]
+    # resumed lineage wins the overlap: all 128px rates are the resume's 5.7
+    assert rep["stage_128px"]["imgs_per_sec_min"] == 5.7
+    assert rep["stage_128px"]["imgs_per_sec_max"] == 5.7
+    # deduped step history: 50000..50790 logged once each
+    assert rep["steps_logged"]["post_128px"] == 80
+    # the crossing witness still comes from the process that crossed 64->128
+    assert rep["crossing"]["log"] == log1.name
+    assert rep["crossing"]["first_line_dt_s"] > 400
+    assert rep["stability"]["watchdog_fired"] is False
