@@ -82,7 +82,28 @@ def parse_log(path):
     return stages, metrics, errors, resume_step
 
 
-def merge_logs(parsed):
+def load_supervisor_reasons(events_paths):
+    """apps/supervise.py events jsonl -> {attempt_log_basename: reason}
+    for each relaunch, so restarts can carry their DETECTED cause
+    (stall_kill with idle seconds / crash rc) instead of an inference."""
+    reasons = {}
+    pending = None
+    for path in events_paths:
+        with open(path) as f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if ev.get("event") == "relaunching":
+                    pending = ev.get("reason")
+                elif ev.get("event") == "launched" and pending is not None:
+                    reasons[os.path.basename(ev["log"])] = pending
+                    pending = None
+    return reasons
+
+
+def merge_logs(parsed, reasons=None):
     """Chronological per-process parses -> one deduped step history.
 
     At each step the LAST process to train it wins (that is the lineage
@@ -94,14 +115,17 @@ def merge_logs(parsed):
     prev_last = None
     for i, (path, (st, mets, errs, resume_step)) in enumerate(parsed):
         if i > 0:
+            base = os.path.basename(path)
+            reason = (reasons or {}).get(base)
             restarts.append({
-                "log": os.path.basename(path),
+                "log": base,
                 "resumed_from_step": resume_step,
                 "dead_process_last_step": prev_last,
                 "steps_retrained": (
                     None if resume_step is None or prev_last is None
                     else max(0, prev_last - resume_step)),
-                "note": ("previous process ended without a traceback in its "
+                "note": (f"supervisor relaunch: {reason}" if reason else
+                         "previous process ended without a traceback in its "
                          "log (external termination); training resumed from "
                          "the last periodic checkpoint"),
             })
@@ -155,12 +179,16 @@ def main():
                     help="curriculum 64->128 crossing step")
     ap.add_argument("--profile_ref", type=float, default=5.94,
                     help="the 4-iter PROFILE_TRAIN img128 number to compare")
+    ap.add_argument("--events", action="append", default=None,
+                    help="apps/supervise.py <log>.events.jsonl file(s); "
+                         "annotates restarts with their detected cause")
     ap.add_argument("--out", default="SUSTAINED128.json")
     args = ap.parse_args()
     logs = args.log or ["output/sustained128.log"]
 
     parsed = [(p, parse_log(p)) for p in logs]
-    stages, metrics, errors, restarts = merge_logs(parsed)
+    reasons = load_supervisor_reasons(args.events or [])
+    stages, metrics, errors, restarts = merge_logs(parsed, reasons)
     pre = [r for r in metrics if r["step"] < args.boundary]
     post = [r for r in metrics if r["step"] >= args.boundary]
 

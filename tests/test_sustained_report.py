@@ -132,3 +132,42 @@ def test_report_merges_resumed_logs(tmp_path):
     assert rep["crossing"]["log"] == log1.name
     assert rep["crossing"]["first_line_dt_s"] > 400
     assert rep["stability"]["watchdog_fired"] is False
+
+
+def test_report_annotates_restarts_with_supervisor_reasons(tmp_path):
+    """When the run was driven by apps/supervise.py, its events jsonl
+    carries the DETECTED relaunch cause; the report attaches it to the
+    matching restart instead of the external-termination inference."""
+    log1, run_dir = _write_fake_run(tmp_path)
+
+    log2 = tmp_path / "run.log.1"
+    log2.write_text("\n".join([
+        "resumed from run/train_state.npz at step 50000",
+        "[stage] step=50000 img=128 bs=24 steps/ray=24 split=4 "
+        "kernel=pallas_train(G)+pallas(D)",
+        json.dumps({"step": 50000, "imgs_per_sec": 8.0, "fake_opacity": 0.5,
+                    "g_loss": 20.0, "d_loss": 1.5}),
+        json.dumps({"step": 50010, "imgs_per_sec": 5.7, "fake_opacity": 0.5,
+                    "g_loss": 20.0, "d_loss": 1.5}),
+    ]) + "\n")
+    events = tmp_path / "run.log.events.jsonl"
+    events.write_text("\n".join([
+        json.dumps({"event": "launched", "attempt": 0,
+                    "log": str(tmp_path / "run.log.0")}),
+        json.dumps({"event": "stall_kill", "attempt": 0, "idle_s": 612}),
+        json.dumps({"event": "relaunching",
+                    "reason": "stall: no progress on metrics.jsonl for 612s",
+                    "next_attempt": 1}),
+        json.dumps({"event": "launched", "attempt": 1, "log": str(log2)}),
+    ]) + "\n")
+
+    out = tmp_path / "S.json"
+    cmd = [sys.executable, str(REPO / "scripts" / "sustained_report.py"),
+           "--run_dir", str(run_dir), "--out", str(out),
+           "--log", str(log1), "--log", str(log2),
+           "--events", str(events)]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr
+    rep = json.loads(out.read_text())
+    assert rep["restarts"][0]["note"] == (
+        "supervisor relaunch: stall: no progress on metrics.jsonl for 612s")
